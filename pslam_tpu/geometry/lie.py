@@ -27,26 +27,47 @@ import jax.numpy as jnp
 _EPS = 1e-8
 
 
+def _safe_norm(v):
+    """L2 norm with a finite gradient at v = 0 (jnp.linalg.norm NaNs there,
+    which poisons jacfwd/jacrev through exp maps at the identity)."""
+    return jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-24)
+
+
+# Taylor switch for the trig ratio helpers. Must be large enough that the
+# generic branch has no f32 catastrophic cancellation: at x=1e-4 in f32,
+# 1-cos(x) evaluates to exactly 0 and (x-sin x) loses all bits. With the
+# series carried to x^4 the error at the 1e-2 switch point is ~1e-16.
+_TAYLOR_SWITCH = 1e-2
+
+
 def _sinc(x):
-    """sin(x)/x, safe at 0."""
-    safe = jnp.where(jnp.abs(x) < _EPS, 1.0, x)
-    return jnp.where(jnp.abs(x) < _EPS, 1.0 - x * x / 6.0, jnp.sin(safe) / safe)
+    """sin(x)/x, f32-safe at 0."""
+    small = jnp.abs(x) < _TAYLOR_SWITCH
+    safe = jnp.where(small, 1.0, x)
+    x2 = x * x
+    return jnp.where(small, 1.0 - x2 / 6.0 + x2 * x2 / 120.0, jnp.sin(safe) / safe)
 
 
 def _cosc(x):
-    """(1 - cos(x)) / x^2, safe at 0."""
-    safe = jnp.where(jnp.abs(x) < _EPS, 1.0, x)
+    """(1 - cos(x)) / x^2, f32-safe at 0."""
+    small = jnp.abs(x) < _TAYLOR_SWITCH
+    safe = jnp.where(small, 1.0, x)
+    x2 = x * x
     return jnp.where(
-        jnp.abs(x) < _EPS, 0.5 - x * x / 24.0, (1.0 - jnp.cos(safe)) / (safe * safe)
+        small,
+        0.5 - x2 / 24.0 + x2 * x2 / 720.0,
+        (1.0 - jnp.cos(safe)) / (safe * safe),
     )
 
 
 def _sincc(x):
-    """(x - sin(x)) / x^3, safe at 0."""
-    safe = jnp.where(jnp.abs(x) < _EPS, 1.0, x)
+    """(x - sin(x)) / x^3, f32-safe at 0."""
+    small = jnp.abs(x) < _TAYLOR_SWITCH
+    safe = jnp.where(small, 1.0, x)
+    x2 = x * x
     return jnp.where(
-        jnp.abs(x) < _EPS,
-        1.0 / 6.0 - x * x / 120.0,
+        small,
+        1.0 / 6.0 - x2 / 120.0 + x2 * x2 / 5040.0,
         (safe - jnp.sin(safe)) / (safe**3),
     )
 
@@ -67,7 +88,7 @@ def so3_hat(w):
 
 def so3_exp(w):
     """Rodrigues: (..., 3) axis-angle -> (..., 3, 3) rotation matrix."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     K = so3_hat(w)
     K2 = K @ K
     a = _sinc(theta)[..., None, None]
@@ -110,7 +131,7 @@ def so3_log(R):
     q = rotation_to_quaternion(R)
     qw = jnp.clip(q[..., 0], -1.0, 1.0)
     qv = q[..., 1:]
-    norm_qv = jnp.linalg.norm(qv, axis=-1)
+    norm_qv = _safe_norm(qv)
     theta = 2.0 * jnp.arctan2(norm_qv, qw)
     # w = theta * qv / |qv|; small-angle: theta ~ 2|qv|, so w ~ 2*qv*(1+...)
     small = norm_qv < 1e-6
@@ -120,7 +141,7 @@ def so3_log(R):
 
 def _so3_left_jacobian(w):
     """V such that t = V @ upsilon in se3_exp. (..., 3) -> (..., 3, 3)."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     K = so3_hat(w)
     K2 = K @ K
     b = _cosc(theta)[..., None, None]
@@ -130,15 +151,19 @@ def _so3_left_jacobian(w):
 
 
 def _so3_left_jacobian_inv(w):
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     K = so3_hat(w)
     K2 = K @ K
     half = 0.5
-    # coefficient: 1/theta^2 (1 - theta sin / (2(1-cos)))
-    safe = jnp.where(theta < _EPS, 1.0, theta)
+    # coefficient: 1/theta^2 (1 - theta sin / (2(1-cos))). The generic form
+    # divides two cancelling quantities; in f32 it blows up below theta~1e-3,
+    # so switch to the series (error ~theta^6/30240) at 0.1.
+    small = theta < 0.1
+    safe = jnp.where(small, 1.0, theta)
+    t2 = theta * theta
     coef = jnp.where(
-        theta < _EPS,
-        1.0 / 12.0 + theta * theta / 720.0,
+        small,
+        1.0 / 12.0 + t2 / 720.0 + t2 * t2 / 30240.0,
         (1.0 - safe * jnp.sin(safe) / (2.0 * (1.0 - jnp.cos(safe)))) / (safe * safe),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
@@ -285,7 +310,7 @@ def sim3_exp(zeta) -> Sim3:
     sigma = zeta[..., 6]
     s = jnp.exp(sigma)
     R = so3_exp(w)
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     K = so3_hat(w)
     K2 = K @ K
     eye = jnp.broadcast_to(jnp.eye(3, dtype=zeta.dtype), K.shape)

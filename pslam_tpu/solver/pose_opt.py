@@ -1,0 +1,129 @@
+"""Pose-only optimization (frame tracking inner loop).
+
+Re-implements Optimizer::PoseOptimization (reference src/Optimizer.cc:239-1023)
+as a jitted Levenberg-Marquardt program over a fixed-capacity masked edge list:
+
+- mono and RGB-D stereo point edges in one array (mono edges mask the ur row);
+- 4 rounds x 10 LM iterations; between rounds edges are re-classified
+  inlier/outlier by the chi2 gates (5.991 mono / 7.815 stereo,
+  Optimizer.cc:699-706) and outliers are excluded from the next round;
+- Huber robust kernel active for the first two rounds only, matching
+  e->setRobustKernel(0) at round 3 (Optimizer.cc:963 semantics);
+- outliers can be re-admitted if their chi2 drops back under the gate,
+  exactly like the reference's per-round re-check.
+
+Structural-line (LIL) edges join this cost in solver/lil.py; see
+pose_optimization's `extra_terms` hook.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pslam_tpu.geometry import Camera, se3_exp
+from pslam_tpu.solver.reproj import stereo_residual_jac
+from pslam_tpu.solver.robust import CHI2_MONO, CHI2_STEREO, huber_weight
+
+
+class PoseObs(NamedTuple):
+    """Fixed-capacity observation set for one frame's pose solve.
+
+    ``obs`` rows are [u, v, ur]; ur < 0 marks a mono observation (reference
+    Frame.mvuRight convention: -1 when no depth).
+    """
+
+    X_w: jnp.ndarray  # (N, 3) world points (fixed)
+    obs: jnp.ndarray  # (N, 3) [u, v, ur]
+    inv_sigma2: jnp.ndarray  # (N,) per-octave information scale
+    valid: jnp.ndarray  # (N,) bool
+
+
+def _edge_terms(cam: Camera, T, po: PoseObs, use_huber, active):
+    """Residuals/Jacobians + weights for all edges at pose T.
+
+    Returns (chi2 (N,), w_eff (N,), r (N,3), J (N,3,6), row_mask (N,3)).
+    """
+    r, J, _ = stereo_residual_jac(cam, T[None], po.X_w, po.obs)
+    is_stereo = po.obs[..., 2] >= 0.0
+    row_mask = jnp.stack(
+        [jnp.ones_like(is_stereo), jnp.ones_like(is_stereo), is_stereo], axis=-1
+    ).astype(r.dtype)
+    r = r * row_mask
+    chi2 = jnp.sum(r * r, axis=-1) * po.inv_sigma2
+    delta = jnp.where(is_stereo, jnp.sqrt(CHI2_STEREO), jnp.sqrt(CHI2_MONO))
+    w_rob = jnp.where(use_huber, huber_weight(chi2, delta), 1.0)
+    w_eff = w_rob * po.inv_sigma2 * active.astype(r.dtype)
+    cost = jnp.sum(chi2 * w_rob * active.astype(r.dtype))
+    return chi2, w_eff, r, J, row_mask, cost
+
+
+def _gn_system(w_eff, r, J, row_mask):
+    Jm = J * row_mask[..., None]
+    H = jnp.einsum("nij,nik,n->jk", Jm, Jm, w_eff)
+    b = -jnp.einsum("nij,ni,n->j", Jm, r, w_eff)
+    return H, b
+
+
+def pose_optimization(
+    cam: Camera,
+    T_init,
+    po: PoseObs,
+    rounds: int = 4,
+    iters_per_round: int = 10,
+    extra_terms=None,
+):
+    """Optimize a single camera pose against fixed world points.
+
+    ``extra_terms``: optional callable ``T -> (H_x (6,6), b_x (6,), cost_x)``
+    used by the structural-line path to add LIL edges to the same normal
+    equations (reference Optimizer.cc:619-694 adds EdgeLIL terms with the
+    LIL vertices held fixed in pose-only optimization).
+
+    Returns (T_opt, inlier_mask (N,), chi2 (N,)).
+    """
+
+    def lm_round(T, active, use_huber):
+        def body(carry, _):
+            T, lam, cost = carry
+            chi2, w_eff, r, J, row_mask, _ = _edge_terms(cam, T, po, use_huber, active)
+            H, b = _gn_system(w_eff, r, J, row_mask)
+            if extra_terms is not None:
+                H_x, b_x, _ = extra_terms(T)
+                H = H + H_x
+                b = b + b_x
+            H = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6, dtype=H.dtype)
+            dx = jnp.linalg.solve(H, b)
+            T_new = se3_exp(dx) @ T
+            *_, cost_new = _edge_terms(cam, T_new, po, use_huber, active)
+            if extra_terms is not None:
+                cost_new = cost_new + extra_terms(T_new)[2]
+            accept = cost_new < cost
+            T_next = jnp.where(accept, T_new, T)
+            lam_next = jnp.where(accept, lam * 0.5, lam * 4.0)
+            cost_next = jnp.where(accept, cost_new, cost)
+            return (T_next, jnp.clip(lam_next, 1e-10, 1e6), cost_next), None
+
+        *_, cost0 = _edge_terms(cam, T, po, use_huber, active)
+        if extra_terms is not None:
+            cost0 = cost0 + extra_terms(T)[2]
+        (T_out, _, _), _ = jax.lax.scan(
+            body, (T, jnp.asarray(1e-4, T.dtype), cost0), None, length=iters_per_round
+        )
+        return T_out
+
+    active = po.valid
+    T = T_init
+    for rnd in range(rounds):
+        use_huber = rnd < 2
+        T = lm_round(T, active, use_huber)
+        # Re-classify all valid edges for the next round (outlier gate).
+        chi2, *_ = _edge_terms(cam, T, po, False, po.valid)
+        is_stereo = po.obs[..., 2] >= 0.0
+        gate = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+        active = po.valid & (chi2 <= gate)
+
+    chi2, *_ = _edge_terms(cam, T, po, False, po.valid)
+    return T, active, chi2
