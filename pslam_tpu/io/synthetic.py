@@ -1,0 +1,140 @@
+"""Synthetic textured RGB-D scenes with exact ground truth.
+
+The reference validates only end-to-end on TUM/ICL sequences (SURVEY.md §4);
+no dataset ships in this environment, so integration tests and benchmarks run
+on synthetic scenes: a textured box room rendered by projective texture
+lookup, giving pixel-exact depth and poses.
+
+Geometry: an axis-aligned room (floor, back wall, left/right walls) with
+procedural high-contrast textures; the camera moves on a configurable
+trajectory looking into the room. Rendering is plain ray casting against the
+four planes — done in numpy on the host once per sequence (dataset
+generation is not part of the benched pipeline).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+def checker_texture(size: int = 1024, cell: int = 32, seed: int = 0):
+    """High-contrast random checkerboard with corner-rich structure."""
+    rng = np.random.default_rng(seed)
+    n = size // cell
+    base = rng.uniform(40, 220, size=(n, n))
+    tex = np.kron(base, np.ones((cell, cell)))
+    # Add fine blobs for sub-cell corners.
+    blobs = rng.uniform(0, 1, size=(size // 8, size // 8))
+    blobs = np.kron(blobs, np.ones((8, 8))) * 60 - 30
+    tex = np.clip(tex + blobs, 0, 255)
+    return tex.astype(np.float32)
+
+
+@dataclasses.dataclass
+class BoxRoom:
+    """Axis-aligned textured box room. Walls at z=depth, x=+-half_w, y=+-half_h."""
+
+    depth: float = 6.0
+    half_w: float = 3.0
+    half_h: float = 2.0
+    tex_size: int = 1024
+    seed: int = 0
+
+    def __post_init__(self):
+        self.textures = [
+            checker_texture(self.tex_size, 32 + 8 * i, self.seed + i) for i in range(4)
+        ]
+
+    def render(self, K, T_cw, width: int, height: int):
+        """Render grayscale + depth for camera pose T_cw (world->cam, 4x4).
+
+        Returns (gray (H, W) float32 [0..255], depth (H, W) float32 meters).
+        """
+        fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+        us, vs = np.meshgrid(np.arange(width), np.arange(height))
+        rays_c = np.stack(
+            [(us - cx) / fx, (vs - cy) / fy, np.ones_like(us, np.float64)], axis=-1
+        )
+        R = T_cw[:3, :3]
+        t = T_cw[:3, 3]
+        # Camera center and ray directions in world frame.
+        C = -R.T @ t
+        dirs = rays_c @ R  # (H, W, 3) = R^T @ ray
+
+        best_t = np.full((height, width), np.inf)
+        gray = np.zeros((height, width), np.float32)
+
+        planes = [
+            # (axis, value, (tex_u_axis, tex_v_axis), texture)
+            (2, self.depth, (0, 1), self.textures[0]),  # back wall
+            (1, self.half_h, (0, 2), self.textures[1]),  # floor (y down)
+            (0, -self.half_w, (2, 1), self.textures[2]),  # left wall
+            (0, self.half_w, (2, 1), self.textures[3]),  # right wall
+        ]
+        for axis, value, (ua, va), tex in planes:
+            d = dirs[..., axis]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t_hit = (value - C[axis]) / d
+            pt = C[None, None, :] + t_hit[..., None] * dirs
+            ok = (t_hit > 0.05) & np.isfinite(t_hit)
+            # Inside the room extent on the other two axes.
+            for ax2, lim in ((0, self.half_w), (1, self.half_h), (2, self.depth)):
+                if ax2 == axis:
+                    continue
+                ok &= (pt[..., ax2] >= -lim - 1e-6) & (pt[..., ax2] <= lim + 1e-6)
+            closer = ok & (t_hit < best_t)
+            # Texture lookup (wrap).
+            scale = self.tex_size / (2 * max(self.half_w, self.half_h, self.depth))
+            tu = np.mod(pt[..., ua] * scale, self.tex_size).astype(np.int32)
+            tv = np.mod(pt[..., va] * scale, self.tex_size).astype(np.int32)
+            col = tex[tv % self.tex_size, tu % self.tex_size]
+            gray = np.where(closer, col, gray)
+            best_t = np.where(closer, t_hit, best_t)
+
+        zdir = dirs[..., 2]
+        depth = np.where(np.isfinite(best_t), best_t, 0.0)
+        # best_t is distance along the ray; depth (z) = t * ray_z component
+        # of the *camera-frame* ray, which has z=1 by construction after
+        # normalization below.
+        # rays_c has z=1, so camera-frame depth = t_hit directly in units of
+        # the z=1-normalized ray -> z = t_hit.
+        del zdir
+        return gray.astype(np.float32), depth.astype(np.float32)
+
+
+def arc_trajectory(n_frames: int, radius: float = 0.4, advance: float = 0.8):
+    """Smooth test trajectory: slight arc + forward advance, returns (n, 4, 4)
+    world->cam poses."""
+    poses = []
+    for i in range(n_frames):
+        a = i / max(n_frames - 1, 1)
+        yaw = 0.15 * np.sin(2 * np.pi * a)
+        tx = radius * np.sin(2 * np.pi * a)
+        tz = advance * a
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        C = np.array([tx, 0.0, tz])
+        R = R_wc.T
+        t = -R @ C
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        poses.append(T)
+    return np.stack(poses).astype(np.float32)
+
+
+def render_sequence(cam, n_frames: int = 30, seed: int = 0, room: BoxRoom | None = None):
+    """Render an RGB-D sequence. Returns (grays, depths, poses_w2c)."""
+    room = room or BoxRoom(seed=seed)
+    K = np.array(
+        [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], dtype=np.float64
+    )
+    poses = arc_trajectory(n_frames)
+    grays, depths = [], []
+    for T in poses:
+        g, d = room.render(K, T.astype(np.float64), cam.width, cam.height)
+        grays.append(g)
+        depths.append(d)
+    return np.stack(grays), np.stack(depths), poses
