@@ -22,12 +22,12 @@ import numpy as np
 def checker_texture(size: int = 1024, cell: int = 32, seed: int = 0):
     """High-contrast random checkerboard with corner-rich structure."""
     rng = np.random.default_rng(seed)
-    n = size // cell
+    n = -(-size // cell)
     base = rng.uniform(40, 220, size=(n, n))
-    tex = np.kron(base, np.ones((cell, cell)))
+    tex = np.kron(base, np.ones((cell, cell)))[:size, :size]
     # Add fine blobs for sub-cell corners.
-    blobs = rng.uniform(0, 1, size=(size // 8, size // 8))
-    blobs = np.kron(blobs, np.ones((8, 8))) * 60 - 30
+    blobs = rng.uniform(0, 1, size=(-(-size // 8), -(-size // 8)))
+    blobs = np.kron(blobs, np.ones((8, 8)))[:size, :size] * 60 - 30
     tex = np.clip(tex + blobs, 0, 255)
     return tex.astype(np.float32)
 

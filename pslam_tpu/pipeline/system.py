@@ -1,0 +1,341 @@
+"""System facade + tracking orchestration.
+
+Replaces System (reference src/System.cc) and the Tracking state machine
+(src/Tracking.cc): per-frame entry point, initialization, motion-model
+tracking, local-map tracking, keyframe policy, trajectory bookkeeping.
+
+Host/device split: the host keeps MapState and makes control decisions; each
+frame costs a small fixed number of fused device dispatches (extract+stereo,
+track vs previous matches, track vs local map).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+import jax.numpy as jnp
+import numpy as np
+
+from pslam_tpu.models.map_state import MapState
+from pslam_tpu.pipeline import local_mapping
+from pslam_tpu.pipeline.frame_ops import FrameData, make_frame
+from pslam_tpu.pipeline.track_ops import (
+    PointSet,
+    track_against_points,
+    track_local_map_step,
+)
+from pslam_tpu.solver.local_ba import local_bundle_adjustment
+from pslam_tpu.utils.config import SlamConfig
+
+
+class TrackState(enum.Enum):
+    # Mirrors Tracking::eTrackingState (Tracking.h:90-96).
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+@dataclasses.dataclass
+class HostFrame:
+    """Host copy of a processed frame + its tracking results."""
+
+    frame_id: int
+    timestamp: float
+    T_cw: np.ndarray  # (4, 4)
+    uv: np.ndarray
+    ur: np.ndarray
+    depth: np.ndarray
+    xyz_c: np.ndarray
+    level: np.ndarray
+    angle: np.ndarray
+    desc: np.ndarray
+    valid: np.ndarray
+    feat_mp: np.ndarray  # map point id per feature, -1 = none
+
+
+class SlamSystem:
+    def __init__(self, cfg: SlamConfig | None = None):
+        self.cfg = cfg or SlamConfig()
+        self.map = MapState(self.cfg)
+        self.state = TrackState.NO_IMAGES_YET
+        self.frame_id = 0
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.last: HostFrame | None = None
+        self.ref_kf = 0
+        self.trajectory: list[tuple[float, np.ndarray]] = []
+        self.stats = {"ba_runs": 0, "culled": 0, "kf_inserted": 0}
+
+    # ------------------------------------------------------------------
+
+    def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, timestamp: float):
+        """Process one RGB-D frame; returns the (4, 4) world->cam pose
+        (System::TrackRGBD, System.cc:169)."""
+        cam, orb = self.cfg.camera, self.cfg.orb
+        fd: FrameData = make_frame(
+            jnp.asarray(gray, jnp.float32), jnp.asarray(depth, jnp.float32), cam, orb
+        )
+        hf = self._to_host(fd, timestamp)
+
+        if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
+            self._initialize(hf, fd)
+        else:
+            self._track(hf, fd)
+
+        self.last = hf
+        self.frame_id += 1
+        self.trajectory.append((timestamp, hf.T_cw.copy()))
+        return hf.T_cw
+
+    # ------------------------------------------------------------------
+
+    def _to_host(self, fd: FrameData, timestamp) -> HostFrame:
+        return HostFrame(
+            frame_id=self.frame_id,
+            timestamp=float(timestamp),
+            T_cw=np.eye(4, dtype=np.float32),
+            uv=np.asarray(fd.uv),
+            ur=np.asarray(fd.ur),
+            depth=np.asarray(fd.depth),
+            xyz_c=np.asarray(fd.xyz_c),
+            level=np.asarray(fd.level),
+            angle=np.asarray(fd.angle),
+            desc=np.asarray(fd.desc),
+            valid=np.asarray(fd.valid),
+            feat_mp=np.full(fd.uv.shape[0], -1, np.int32),
+        )
+
+    def _initialize(self, hf: HostFrame, fd: FrameData):
+        """StereoInitialization (Tracking.cc:555-657): need enough
+        depth-valid features, create the first KF and its map points."""
+        n_depth = int((hf.depth > 0).sum())
+        if n_depth < 500:
+            self.state = TrackState.NOT_INITIALIZED
+            return
+        hf.T_cw = np.eye(4, dtype=np.float32)
+        kf = self.map.add_keyframe(
+            hf.frame_id, hf.timestamp, hf.T_cw, hf.uv, hf.ur, hf.level, hf.angle,
+            hf.desc, hf.valid, hf.depth, np.full_like(hf.feat_mp, -1),
+        )
+        sel = np.flatnonzero((hf.depth > 0) & hf.valid)
+        X_w = hf.xyz_c[sel]  # identity pose: camera frame == world frame
+        ids = self.map.create_points_from_depth(kf, sel, X_w)
+        hf.feat_mp[sel] = ids
+        self.ref_kf = kf
+        self.state = TrackState.OK
+        self.stats["kf_inserted"] += 1
+
+    # ------------------------------------------------------------------
+
+    def _track(self, hf: HostFrame, fd: FrameData):
+        cfg_t = self.cfg.tracking
+        cam, orb = self.cfg.camera, self.cfg.orb
+        T_pred = (self.velocity @ self.last.T_cw).astype(np.float32)
+
+        # --- 1. motion-model tracking vs last frame's map points ----------
+        prev_mp = self.last.feat_mp
+        prev_sel = np.flatnonzero(prev_mp >= 0)
+        pts_prev = self._point_set(prev_mp[prev_sel], cap=len(prev_mp))
+        res = track_against_points(
+            cam, jnp.asarray(T_pred), pts_prev, fd, cfg_t.motion_match_radius,
+            orb.scale, orb.levels,
+        )
+        if int(res.n_inliers) < cfg_t.min_track_inliers:
+            # Widen the window (Tracking.cc:1198-1203), then fall back to
+            # tracking against the reference KF's points.
+            res = track_against_points(
+                cam, jnp.asarray(T_pred), pts_prev, fd,
+                cfg_t.motion_match_radius_wide, orb.scale, orb.levels,
+            )
+        if int(res.n_inliers) < cfg_t.min_track_inliers:
+            ref_mp = self.map.kf_feat_mp[self.ref_kf]
+            ref_sel = ref_mp[ref_mp >= 0]
+            pts_ref = self._point_set(ref_sel, cap=len(prev_mp))
+            res = track_against_points(
+                cam, jnp.asarray(self.last.T_cw), pts_ref, fd,
+                cfg_t.motion_match_radius_wide, orb.scale, orb.levels,
+            )
+            prev_sel = np.arange(len(ref_sel))
+            track_ids = np.full(len(prev_mp), -1, np.int32)
+            track_ids[: len(ref_sel)] = ref_sel
+        else:
+            track_ids = np.full(len(prev_mp), -1, np.int32)
+            track_ids[: len(prev_sel)] = prev_mp[prev_sel]
+
+        # Per-feature map-point assignment from the first solve.
+        match_point = np.asarray(res.match_point)
+        inlier = np.asarray(res.inlier)
+
+        # --- 2. local-map tracking ---------------------------------------
+        local_kfs = self._local_keyframes()
+        pt_ids = self.map.local_map_points(local_kfs, self.cfg.caps.local_points)
+        local_set = self._point_set(pt_ids, cap=self.cfg.caps.local_points)
+        # Prior matches: feature index per local point where the first solve
+        # already matched that point.
+        prior = np.full(self.cfg.caps.local_points, -1, np.int32)
+        if len(pt_ids):
+            slot_of_mp = {int(m): i for i, m in enumerate(pt_ids)}
+            for p_slot, f_idx in zip(np.flatnonzero(match_point >= 0),
+                                     match_point[match_point >= 0]):
+                mp_id = track_ids[p_slot]
+                if mp_id >= 0 and int(mp_id) in slot_of_mp and inlier[p_slot]:
+                    prior[slot_of_mp[int(mp_id)]] = f_idx
+
+        res2 = track_local_map_step(
+            cam, res.T_cw, local_set, fd, jnp.asarray(prior),
+            cfg_t.local_match_radius, orb.scale, orb.levels,
+        )
+        hf.T_cw = np.asarray(res2.T_cw)
+
+        # --- 3. bookkeeping ----------------------------------------------
+        m2 = np.asarray(res2.match_point)
+        in2 = np.asarray(res2.inlier)
+        vis2 = np.asarray(res2.visible)
+        if len(pt_ids):
+            np.add.at(self.map.mp_visible, pt_ids[vis2[: len(pt_ids)]], 1)
+            good = (m2[: len(pt_ids)] >= 0) & in2[: len(pt_ids)]
+            np.add.at(self.map.mp_found, pt_ids[good], 1)
+            hf.feat_mp[m2[: len(pt_ids)][good]] = pt_ids[good]
+
+        n_inliers = int(res2.n_inliers)
+        if n_inliers < cfg_t.min_track_inliers:
+            self.state = TrackState.LOST
+            self.velocity = np.eye(4, dtype=np.float32)
+        else:
+            self.state = TrackState.OK
+            self.velocity = (hf.T_cw @ np.linalg.inv(self.last.T_cw)).astype(
+                np.float32
+            )
+            if self._need_new_keyframe(hf, n_inliers):
+                self._create_keyframe(hf)
+
+    # ------------------------------------------------------------------
+
+    def _point_set(self, mp_ids, cap: int) -> PointSet:
+        """Gather a device PointSet snapshot for the given map-point ids."""
+        m = self.map
+        mp_ids = np.asarray(mp_ids, np.int64)
+        n = min(len(mp_ids), cap)
+        mp_ids = mp_ids[:n]
+        pos = np.zeros((cap, 3), np.float32)
+        desc = np.zeros((cap, 32), np.uint8)
+        level = np.zeros(cap, np.int32)
+        angle = np.zeros(cap, np.float32)
+        mind = np.zeros(cap, np.float32)
+        maxd = np.full(cap, 1e9, np.float32)
+        normal = np.zeros((cap, 3), np.float32)
+        valid = np.zeros(cap, bool)
+        if n:
+            pos[:n] = m.mp_pos[mp_ids]
+            desc[:n] = m.mp_desc[mp_ids]
+            mind[:n] = m.mp_min_dist[mp_ids]
+            maxd[:n] = m.mp_max_dist[mp_ids]
+            normal[:n] = m.mp_normal[mp_ids]
+            valid[:n] = m.mp_valid[mp_ids]
+            level[:n] = m.mp_level[mp_ids]
+            angle[:n] = m.mp_angle[mp_ids]
+        return PointSet(
+            pos=jnp.asarray(pos),
+            desc=jnp.asarray(desc),
+            level=jnp.asarray(level),
+            angle=jnp.asarray(angle),
+            min_dist=jnp.asarray(mind),
+            max_dist=jnp.asarray(maxd),
+            normal=jnp.asarray(normal),
+            valid=jnp.asarray(valid),
+        )
+
+    def _local_keyframes(self):
+        """Reference KF + best covisible neighbours (UpdateLocalKeyFrames,
+        Tracking.cc:1905-2029, capped at 80)."""
+        base = self.ref_kf
+        covis = self.map.best_covisible(base, 79)
+        ids = np.unique(np.concatenate([[base], covis]))
+        return ids
+
+    def _need_new_keyframe(self, hf: HostFrame, n_inliers: int) -> bool:
+        """NeedNewKeyFrame (Tracking.cc:1410-1515), RGB-D branch."""
+        t = self.cfg.tracking
+        frames_since_kf = hf.frame_id - int(
+            self.map.kf_frame_id[self.map.n_kf - 1]
+        )
+        ref_tracked = int((self.map.kf_feat_mp[self.ref_kf] >= 0).sum())
+        # Close points tracked vs. close points availables (Tracking.cc:1452).
+        close = (hf.depth > 0) & (hf.depth < self.cfg.th_depth) & hf.valid
+        tracked_close = int(((hf.feat_mp >= 0) & close).sum())
+        untracked_close = int(((hf.feat_mp < 0) & close).sum())
+        need_close = (tracked_close < 100) and (untracked_close > 70)
+
+        c1 = frames_since_kf >= t.kf_max_interval
+        c2 = n_inliers < ref_tracked * t.kf_min_inlier_ratio or need_close
+        c3 = n_inliers > 15
+        return (c1 or c2) and c3 and frames_since_kf >= t.kf_min_interval
+
+    def _create_keyframe(self, hf: HostFrame):
+        """CreateNewKeyFrame (Tracking.cc:1516-1605): insert KF, create new
+        map points from depth for unmatched close features, run the backend."""
+        kf = self.map.add_keyframe(
+            hf.frame_id, hf.timestamp, hf.T_cw, hf.uv, hf.ur, hf.level, hf.angle,
+            hf.desc, hf.valid, hf.depth, hf.feat_mp,
+        )
+        self.ref_kf = kf
+        self.stats["kf_inserted"] += 1
+
+        # New points from depth: unmatched features sorted by depth, close
+        # ones first, at least 100 (Tracking.cc:1545-1599).
+        cand = np.flatnonzero((hf.feat_mp < 0) & (hf.depth > 0) & hf.valid)
+        if len(cand):
+            order = np.argsort(hf.depth[cand])
+            cand = cand[order]
+            close = hf.depth[cand] < self.cfg.th_depth
+            n_take = max(int(close.sum()), min(100, len(cand)))
+            n_take = min(n_take, self.cfg.tracking.max_new_points_per_kf)
+            sel = cand[:n_take]
+            T_wc = np.linalg.inv(hf.T_cw)
+            X_w = (hf.xyz_c[sel] @ T_wc[:3, :3].T) + T_wc[:3, 3]
+            ids = self.map.create_points_from_depth(kf, sel, X_w.astype(np.float32))
+            hf.feat_mp[sel] = ids
+
+        # Backend: point culling + local BA (LocalMapping::Run order).
+        self.stats["culled"] += local_mapping.cull_points(self.map, self.cfg)
+        self._run_local_ba(kf)
+
+    def _run_local_ba(self, kf_idx: int):
+        if self.map.n_kf < 3:
+            return
+        out = local_mapping.assemble_local_ba(self.map, kf_idx, self.cfg)
+        if out is None:
+            return
+        prob, cam_ids, pt_ids, e_feat, n_e = out
+        result = local_bundle_adjustment(
+            self.cfg.camera, prob, self.cfg.caps.ba_free
+        )
+        local_mapping.write_back_ba(
+            self.map, result, cam_ids, pt_ids, e_feat, n_e,
+            np.asarray(prob.free_slot),
+        )
+        self.stats["ba_runs"] += 1
+
+    # ------------------------------------------------------------------
+
+    def save_trajectory_tum(self, path: str):
+        """TUM-format trajectory (System::SaveTrajectoryTUM, System.cc:323)."""
+        from pslam_tpu.geometry.lie import rotation_to_quaternion
+
+        import jax.numpy as jnp_
+
+        with open(path, "w") as f:
+            for ts, T in self.trajectory:
+                R = T[:3, :3]
+                t = T[:3, 3]
+                C = -R.T @ t
+                q = np.asarray(rotation_to_quaternion(jnp_.asarray(R.T)))
+                f.write(
+                    f"{ts:.6f} {C[0]:.7f} {C[1]:.7f} {C[2]:.7f} "
+                    f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n"
+                )
+
+    @property
+    def poses(self):
+        return np.stack([T for _, T in self.trajectory])

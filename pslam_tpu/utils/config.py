@@ -1,0 +1,53 @@
+"""Typed configuration (replaces the reference's YAML FileStorage reads in
+Tracking.cc:53-154 and the Config singleton, add_inc/Config.h:13-27).
+
+All capacities are compile-time constants: every device program has static
+shapes, so these are the knobs that trade memory for headroom.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from pslam_tpu.geometry import Camera
+from pslam_tpu.ops.orb import OrbConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class Capacities:
+    max_keyframes: int = 256
+    max_map_points: int = 32768
+    local_points: int = 4096  # tracking local-map view
+    ba_cams: int = 48  # total cameras in a local BA problem
+    ba_free: int = 16  # free cameras (1-hop covisibility window)
+    ba_points: int = 4096
+    ba_edges: int = 16384
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackingConfig:
+    # Reference thresholds (file:line cited in pipeline/tracking.py).
+    motion_match_radius: float = 15.0
+    motion_match_radius_wide: float = 30.0
+    local_match_radius: float = 5.0
+    min_motion_matches: int = 20
+    min_track_inliers: int = 10
+    min_local_inliers: int = 30
+    kf_min_inlier_ratio: float = 0.75  # NeedNewKeyFrame thRefRatio (RGB-D: 0.75)
+    kf_min_interval: int = 0
+    kf_max_interval: int = 30  # mMaxFrames = fps (Tracking.cc:124-129)
+    th_depth_factor: float = 40.0  # ThDepth = 40 * baseline (TUM1.yaml:66)
+    max_new_points_per_kf: int = 256
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    camera: Camera = Camera(fx=517.3, fy=516.5, cx=318.6, cy=255.3, bf=40.0)
+    orb: OrbConfig = OrbConfig()
+    caps: Capacities = Capacities()
+    tracking: TrackingConfig = TrackingConfig()
+
+    @property
+    def th_depth(self) -> float:
+        """Close/far stereo depth threshold (reference mThDepth)."""
+        return self.tracking.th_depth_factor * self.camera.baseline

@@ -1,0 +1,73 @@
+"""End-to-end integration test: full RGB-D SLAM slice on a synthetic scene
+with exact ground truth (SURVEY.md §4 / BASELINE config 1 analogue)."""
+
+import numpy as np
+import pytest
+
+from pslam_tpu.io.synthetic import render_sequence
+from pslam_tpu.pipeline.system import SlamSystem, TrackState
+from pslam_tpu.utils.config import SlamConfig
+from pslam_tpu.utils.metrics import ate_rmse, trajectory_positions
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    cfg = SlamConfig()
+    grays, depths, poses_gt = render_sequence(cfg.camera, n_frames=15, seed=0)
+    return cfg, grays, depths, poses_gt
+
+
+@pytest.fixture(scope="module")
+def tracked(sequence):
+    cfg, grays, depths, poses_gt = sequence
+    slam = SlamSystem(cfg)
+    for i in range(len(grays)):
+        slam.track_rgbd(grays[i], depths[i], i / 30.0)
+    return slam, poses_gt
+
+
+class TestEndToEnd:
+    def test_tracks_whole_sequence(self, tracked):
+        slam, _ = tracked
+        assert slam.state == TrackState.OK
+        assert slam.map.n_kf >= 2
+        assert int(slam.map.mp_valid.sum()) > 500
+
+    def test_ate_under_threshold(self, tracked):
+        slam, poses_gt = tracked
+        est = trajectory_positions(slam.poses)
+        gt = trajectory_positions(poses_gt)
+        ate = ate_rmse(est, gt)
+        # Synthetic scene, exact depth: a healthy tracker stays well under
+        # 5 cm (reference-class accuracy on fr1-like motion is 1-2 cm).
+        assert ate < 0.05, f"ATE {ate:.4f} m"
+
+    def test_local_ba_ran(self, tracked):
+        slam, _ = tracked
+        assert slam.stats["ba_runs"] >= 1
+
+    def test_trajectory_tum_format(self, tracked, tmp_path):
+        slam, _ = tracked
+        path = tmp_path / "traj.txt"
+        slam.save_trajectory_tum(str(path))
+        lines = path.read_text().strip().splitlines()
+        assert len(lines) == len(slam.trajectory)
+        row = np.asarray(lines[0].split(), np.float64)
+        assert row.shape == (8,)  # ts x y z qx qy qz qw
+        q = row[4:]
+        assert abs(np.linalg.norm(q) - 1.0) < 1e-3
+
+
+def test_tracking_recovers_pose_each_frame(sequence):
+    """Per-frame pose error (not just aligned ATE) stays bounded."""
+    cfg, grays, depths, poses_gt = sequence
+    slam = SlamSystem(cfg)
+    errs = []
+    for i in range(len(grays)):
+        T = slam.track_rgbd(grays[i], depths[i], i / 30.0)
+        C_est = -T[:3, :3].T @ T[:3, 3]
+        Tg = poses_gt[i]
+        C_gt = -Tg[:3, :3].T @ Tg[:3, 3]
+        errs.append(np.linalg.norm(C_est - C_gt))
+    # World frame anchored at frame 0 -> absolute comparison is meaningful.
+    assert max(errs) < 0.08, errs
