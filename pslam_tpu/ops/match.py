@@ -35,6 +35,10 @@ def hamming_matrix(desc_a, desc_b):
     """(Na, 32) x (Nb, 32) packed uint8 -> (Na, Nb) int32 Hamming distances."""
     a = unpack_bits(desc_a)
     b = unpack_bits(desc_b)
+    # Materialize the unpacked operands: when the descriptors are produced
+    # upstream in the same program, XLA fuses the whole extraction chain into
+    # the matmul tiles (observed 60ms/frame instead of <0.1ms on TPU).
+    a, b = jax.lax.optimization_barrier((a, b))
     dot = jax.lax.dot_general(
         a,
         b,

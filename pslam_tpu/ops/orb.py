@@ -91,27 +91,45 @@ def _moment_kernels():
     return jnp.asarray(kx), jnp.asarray(ky)
 
 
-def keypoint_angles(stack, uv_lvl, level):
-    """IC angle at each keypoint via patch gather + moment matmul.
+PATCH = 48  # descriptor/moment patch side; covers rotated pattern + margin
 
-    A whole-image 31x31 single-channel conv costs ~32ms/frame on TPU (no
-    channel contraction to feed the MXU); gathering the ~1k keypoint patches
-    (N, 961) and contracting against the two moment kernels as a matmul is
-    ~0.5ms for identical results at the sampled locations.
+
+def extract_patches(stack, uv_lvl, level, size: int = PATCH):
+    """(N, size, size) patches around keypoints via vmapped dynamic_slice.
+
+    On this TPU, arbitrary element gathers are pathologically slow (the flat
+    550k-sample descriptor gather measured ~60ms/frame and minutes of
+    compile), while row-contiguous dynamic slices are ~0.02ms total. All
+    per-keypoint sampling therefore goes through patches.
     """
     h, w = stack.shape[-2:]
-    kx, ky = _moment_kernels()
+    half = size // 2
+
+    def one(u, l):
+        y0 = jnp.clip(u[1].astype(jnp.int32) - half, 0, h - size)
+        x0 = jnp.clip(u[0].astype(jnp.int32) - half, 0, w - size)
+        return jax.lax.dynamic_slice(stack[l], (y0, x0), (size, size))
+
+    return jax.vmap(one)(uv_lvl, level)
+
+
+def keypoint_angles(patches):
+    """IC angle from (N, P, P) patches: one moment matmul (MXU).
+
+    Equivalent to IC_Angle's circular-patch moments; a whole-image 31x31
+    single-channel conv costs ~32ms/frame (no channel contraction for the
+    MXU), this is ~0.01ms.
+    """
+    n = patches.shape[0]
+    size = patches.shape[-1]
     r = HALF_PATCH
-    offs = jnp.stack(
-        jnp.meshgrid(jnp.arange(-r, r + 1), jnp.arange(-r, r + 1), indexing="ij"),
-        axis=-1,
-    ).reshape(-1, 2)  # (961, 2) [dy, dx]
-    yi = jnp.clip(uv_lvl[:, 1:2].astype(jnp.int32) + offs[None, :, 0], 0, h - 1)
-    xi = jnp.clip(uv_lvl[:, 0:2][:, 0:1].astype(jnp.int32) + offs[None, :, 1], 0, w - 1)
-    flat = (level[:, None] * h + yi) * w + xi
-    patches = stack.reshape(-1)[flat]  # (N, 961)
-    kmat = jnp.stack([kx.reshape(-1), ky.reshape(-1)], axis=-1)  # (961, 2)
-    m = jnp.dot(patches, kmat, preferred_element_type=jnp.float32)  # (N, 2)
+    c = size // 2
+    ys, xs = np.mgrid[0:size, 0:size]
+    mask = ((xs - c) ** 2 + (ys - c) ** 2) <= r**2 + 1
+    kx = ((xs - c) * mask).astype(np.float32).reshape(-1)
+    ky = ((ys - c) * mask).astype(np.float32).reshape(-1)
+    kmat = jnp.asarray(np.stack([kx, ky], axis=-1))  # (size^2, 2)
+    m = jnp.dot(patches.reshape(n, -1), kmat, preferred_element_type=jnp.float32)
     return jnp.arctan2(m[:, 1], m[:, 0])
 
 
@@ -130,10 +148,76 @@ def _brief_pattern(n_bits: int = 256, seed: int = 1234):
     sigma = (2 * HALF_PATCH + 1) / 5.0
     pts = rng.normal(0.0, sigma, size=(n_bits, 4))
     pts = np.clip(np.round(pts), -(HALF_PATCH - 2), HALF_PATCH - 2)
-    return jnp.asarray(pts.astype(np.int32))
+    return pts.astype(np.int32)  # host-side constant (numpy, NOT device)
 
 
 _PATTERN = _brief_pattern()
+
+N_ANGLE_BINS = 32
+
+
+def _bin_sample_indices():
+    """(B, 512) int32: flattened 48x48 patch index of each rotated test point
+    for each quantized angle bin (256 a-points then 256 b-points).
+
+    Rotating the pattern per-bin turns descriptor sampling into a one-hot
+    selection matmul (MXU) instead of a per-element gather. Bin width
+    2*pi/32 = 11.25 deg -> max 5.6 deg rotation error, within rBRIEF's
+    tolerance (validated by the translation/rotation matching tests).
+    """
+    pat = np.asarray(_PATTERN, np.float64)  # (256, 4) [ax, ay, bx, by]
+    pts = np.concatenate([pat[:, 0:2], pat[:, 2:4]], axis=0)  # (512, 2)
+    half = PATCH // 2
+    out = np.zeros((N_ANGLE_BINS, 512), np.int32)
+    for b in range(N_ANGLE_BINS):
+        th = 2.0 * np.pi * b / N_ANGLE_BINS
+        ca, sa = np.cos(th), np.sin(th)
+        rx = pts[:, 0] * ca - pts[:, 1] * sa
+        ry = pts[:, 0] * sa + pts[:, 1] * ca
+        xi = np.clip(np.round(rx).astype(np.int64) + half, 0, PATCH - 1)
+        yi = np.clip(np.round(ry).astype(np.int64) + half, 0, PATCH - 1)
+        out[b] = (yi * PATCH + xi).astype(np.int32)
+    return out
+
+
+def _selection_matrix():
+    """(PATCH^2, B*512) bf16 constant: one-hot columns selecting, for each
+    angle bin, the 512 rotated test-point pixels of a 48x48 patch."""
+    idx = _bin_sample_indices()  # (B, 512) numpy
+    npx = PATCH * PATCH
+    S = np.zeros((npx, N_ANGLE_BINS * 512), np.float32)
+    cols = np.arange(N_ANGLE_BINS * 512)
+    S[idx.reshape(-1), cols] = 1.0
+    return jnp.asarray(S, jnp.bfloat16)
+
+
+_SEL = None
+
+
+def _brief_bits(bpatch, angle):
+    """(N, 48, 48) blurred patches + (N,) angles -> (N, 256) uint8 bits.
+
+    Sampling at all 32 bin rotations is ONE (N, 2304) x (2304, 32*512) bf16
+    matmul against a constant one-hot selection matrix (~80 GFLOP on the
+    MXU); the per-keypoint bin is then combined with a mask-weighted sum.
+    An in-graph one_hot + 32-matmul loop measured ~99ms/frame; this is <2ms.
+    """
+    global _SEL
+    if _SEL is None:
+        _SEL = _selection_matrix()
+    n = bpatch.shape[0]
+    flat = bpatch.reshape(n, -1).astype(jnp.bfloat16)
+    two_pi = 2.0 * jnp.pi
+    bin_f = (angle % two_pi) * (N_ANGLE_BINS / two_pi)
+    kp_bin = jnp.round(bin_f).astype(jnp.int32) % N_ANGLE_BINS
+    sampled = jax.lax.dot_general(
+        flat, _SEL, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).reshape(n, N_ANGLE_BINS, 512)
+    onehot = (kp_bin[:, None] == jnp.arange(N_ANGLE_BINS)[None, :]).astype(
+        jnp.float32
+    )
+    acc = jnp.einsum("nbs,nb->ns", sampled, onehot)
+    return (acc[:, :256] < acc[:, 256:]).astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -227,30 +311,15 @@ def extract_orb(img, cfg: OrbConfig = OrbConfig()) -> OrbFeatures:
     uv_lvl, level, response = jax.lax.optimization_barrier(
         (uv_lvl, level, response)
     )
-    angle = keypoint_angles(stack, uv_lvl, level)
+    patches = extract_patches(stack, uv_lvl, level)
+    angle = keypoint_angles(patches)
 
     # --- descriptors ------------------------------------------------------
+    # Barrier: without it the blur conv fuses into the 1k patch slices and
+    # gets recomputed per patch.
     blurred = jax.lax.optimization_barrier(gaussian_blur(stack))
-    ca, sa = jnp.cos(angle), jnp.sin(angle)
-    pat = _PATTERN.astype(jnp.float32)  # (256, 4)
-
-    def rot(px, py):
-        # (N, 256) rotated sample offsets (reference computeOrbDescriptor
-        # GET_VALUE semantics: x' = x cos - y sin, y' = x sin + y cos).
-        rx = px[None, :] * ca[:, None] - py[None, :] * sa[:, None]
-        ry = px[None, :] * sa[:, None] + py[None, :] * ca[:, None]
-        return rx, ry
-
-    ax, ay = rot(pat[:, 0], pat[:, 1])
-    bx, by = rot(pat[:, 2], pat[:, 3])
-
-    def sample(dx, dy):
-        sy = jnp.clip(jnp.round(uv_lvl[:, 1:2] + dy).astype(jnp.int32), 0, h - 1)
-        sx = jnp.clip(jnp.round(uv_lvl[:, 0:1] + dx).astype(jnp.int32), 0, w - 1)
-        flat = (level[:, None] * h + sy) * w + sx
-        return blurred.reshape(-1)[flat]  # (N, 256)
-
-    bits = (sample(ax, ay) < sample(bx, by)).astype(jnp.uint8)  # (N, 256)
+    bpatch = extract_patches(blurred, uv_lvl, level)  # (N, 48, 48)
+    bits = _brief_bits(bpatch, angle)
     weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
     desc = jnp.sum(
         bits.reshape(-1, 32, 8) * weights[None, None, :], axis=-1, dtype=jnp.uint8
