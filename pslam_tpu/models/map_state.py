@@ -69,6 +69,43 @@ class MapState:
         # Covisibility counts (shared map-point observations).
         self.covis = np.zeros((K, K), np.int32)
 
+        # ------------------------------------------------------------------
+        # Map lines (MapLine, add_src/MapLine.cpp: 6-DoF segment landmarks).
+        NL = cfg.lines.n_lines
+        ML = cfg.caps.max_map_lines
+        self.ml_valid = np.zeros(ML, bool)
+        self.ml_pos = np.zeros((ML, 6), np.float32)  # [sp_w, ep_w]
+        self.ml_desc = np.zeros((ML, 40), np.float32)  # band descriptor
+        self.ml_first_kf = np.full(ML, -1, np.int32)
+        self.ml_n_obs = np.zeros(ML, np.int32)
+        self.ml_visible = np.zeros(ML, np.int32)
+        self.ml_found = np.zeros(ML, np.int32)
+        self._ml_free_head = 0
+        # Per-KF line features + observations (map-line id per line slot).
+        self.kf_line_sp = np.zeros((K, NL, 2), np.float32)
+        self.kf_line_ep = np.zeros((K, NL, 2), np.float32)
+        self.kf_line_desc = np.zeros((K, NL, 40), np.float32)
+        self.kf_line_valid = np.zeros((K, NL), bool)
+        self.kf_line_ml = np.full((K, NL), -1, np.int32)
+
+        # ------------------------------------------------------------------
+        # Structural-line landmarks (InsectLine, add_src/insectline.cc:
+        # 15-d state [line1, line2, crosspoint] + world plane).
+        Q = cfg.caps.max_lils
+        QF = cfg.caps.frame_lils
+        self.il_valid = np.zeros(Q, bool)
+        self.il_state = np.zeros((Q, 15), np.float32)  # world frame
+        self.il_plane = np.zeros((Q, 4), np.float32)  # (n, d), d >= 0
+        self.il_first_kf = np.full(Q, -1, np.int32)
+        self.il_n_obs = np.zeros(Q, np.int32)  # KF observations
+        self.il_frame_obs = np.zeros(Q, np.int32)  # AddFrameObservation count
+        self._il_free_head = 0
+        # Per-KF LIL observations: map-LIL id + the 8-d measurement
+        # [eq1, eq2, cross2d] per frame-LIL slot (KeyFrame mvle_l /
+        # CrossPoint_2D, KeyFrame.h:205-225).
+        self.kf_lil_il = np.full((K, QF), -1, np.int32)
+        self.kf_lil_obs = np.zeros((K, QF, 8), np.float32)
+
     # ------------------------------------------------------------------
     # Allocation
     # ------------------------------------------------------------------
@@ -174,6 +211,73 @@ class MapState:
             scale ** (self.cfg.orb.levels - 1)
         )
         return ids
+
+    # ------------------------------------------------------------------
+    # Map lines / structural lines
+    # ------------------------------------------------------------------
+
+    def _alloc(self, valid, free_head_attr, count):
+        free = np.flatnonzero(~valid[: getattr(self, free_head_attr)])
+        n_recycle = min(len(free), count)
+        ids = list(free[:n_recycle])
+        remaining = count - n_recycle
+        cap = valid.shape[0]
+        head = getattr(self, free_head_attr)
+        if remaining > 0:
+            if head + remaining > cap:
+                raise RuntimeError("landmark capacity exhausted")
+            ids.extend(range(head, head + remaining))
+            setattr(self, free_head_attr, head + remaining)
+        return np.asarray(ids, np.int32)
+
+    def create_map_lines(self, kf_idx: int, line_slots, pos_w, desc):
+        """New 6-DoF line landmarks observed by KF kf_idx at ``line_slots``
+        (MapLine creation in CreateNewKeyFrame / LocalMapping)."""
+        ids = self._alloc(self.ml_valid, "_ml_free_head", len(line_slots))
+        self.ml_valid[ids] = True
+        self.ml_pos[ids] = pos_w
+        self.ml_desc[ids] = desc
+        self.ml_first_kf[ids] = kf_idx
+        self.ml_n_obs[ids] = 1
+        self.ml_visible[ids] = 1
+        self.ml_found[ids] = 1
+        self.kf_line_ml[kf_idx, line_slots] = ids
+        return ids
+
+    def cull_map_lines(self, ids):
+        ids = np.asarray(ids, np.int32)
+        if len(ids) == 0:
+            return
+        self.ml_valid[ids] = False
+        mask = np.isin(self.kf_line_ml[: self.n_kf], ids)
+        self.kf_line_ml[: self.n_kf][mask] = -1
+
+    def create_lils(self, kf_idx: int, lil_slots, state_w, plane_w, obs8):
+        """New InsectLine landmarks from unassociated frame LILs
+        (mbNewPlane path; insectline.cc ctor)."""
+        ids = self._alloc(self.il_valid, "_il_free_head", len(lil_slots))
+        self.il_valid[ids] = True
+        self.il_state[ids] = state_w
+        self.il_plane[ids] = plane_w
+        self.il_first_kf[ids] = kf_idx
+        self.il_n_obs[ids] = 1
+        self.kf_lil_il[kf_idx, lil_slots] = ids
+        self.kf_lil_obs[kf_idx, lil_slots] = obs8
+        return ids
+
+    def attach_lil_observations(self, kf_idx: int, lil_slots, il_ids, obs8):
+        """Record KF observations of existing map LILs (AddObservation)."""
+        self.kf_lil_il[kf_idx, lil_slots] = il_ids
+        self.kf_lil_obs[kf_idx, lil_slots] = obs8
+        np.add.at(self.il_n_obs, il_ids, 1)
+
+    def cull_lils(self, ids):
+        ids = np.asarray(ids, np.int32)
+        if len(ids) == 0:
+            return
+        self.il_valid[ids] = False
+        mask = np.isin(self.kf_lil_il[: self.n_kf], ids)
+        self.kf_lil_il[: self.n_kf][mask] = -1
 
     def cull_map_points(self, ids):
         ids = np.asarray(ids, np.int32)

@@ -1,9 +1,9 @@
-"""Per-frame device program: feature extraction + RGB-D stereo.
+"""Per-frame device programs: feature extraction + RGB-D stereo + lines.
 
 Replaces the Frame RGB-D constructor pipeline (reference src/Frame.cc:133-210:
-ExtractORB -> UndistortKeyPoints -> ComputeStereoFromRGBD -> grid assignment)
-with one fused jit call. No feature grid is built — matching uses masked
-distance matrices instead (ops/match.py).
+ExtractORB -> ExtractLSD -> UndistortKeyPoints -> ComputeStereoFromRGBD ->
+grid assignment) with fused jit calls. No feature grid is built — matching
+uses masked distance matrices instead (ops/match.py, ops/line_match.py).
 """
 
 from __future__ import annotations
@@ -15,7 +15,11 @@ import jax
 import jax.numpy as jnp
 
 from pslam_tpu.geometry import Camera, backproject, undistort_points
+from pslam_tpu.ops.fans import LILFeatures, build_lils
 from pslam_tpu.ops.image import sample_nearest
+from pslam_tpu.ops.lbd import line_descriptors
+from pslam_tpu.ops.line3d import fit_lines_3d
+from pslam_tpu.ops.lines import LineConfig, detect_lines
 from pslam_tpu.ops.orb import OrbConfig, OrbFeatures, extract_orb
 
 
@@ -56,4 +60,44 @@ def make_frame(img, depth_img, cam: Camera, orb_cfg: OrbConfig) -> FrameData:
         angle=feats.angle,
         desc=feats.desc,
         valid=feats.valid,
+    )
+
+
+class FrameLineData(NamedTuple):
+    """Device-side line features of one frame (capacity NL) + LIL set.
+
+    Mirrors the line part of the Frame ctor (ExtractLSD + isLineGood + fan
+    detection + plane build, Frame.cc:489-646).
+    """
+
+    sp: jnp.ndarray  # (NL, 2)
+    ep: jnp.ndarray  # (NL, 2)
+    eq2d: jnp.ndarray  # (NL, 3) normalized image-line equations
+    angle: jnp.ndarray  # (NL,)
+    length: jnp.ndarray  # (NL,)
+    desc: jnp.ndarray  # (NL, D) float band descriptors
+    valid: jnp.ndarray  # (NL,)
+    p3s: jnp.ndarray  # (NL, 3) camera-frame 3D endpoints (mvLines3D)
+    p3e: jnp.ndarray  # (NL, 3)
+    dir3d: jnp.ndarray  # (NL, 3) normalized 3D direction (mvLineEq)
+    ok3d: jnp.ndarray  # (NL,)
+    lil: LILFeatures  # structural-line hypotheses
+
+
+@partial(jax.jit, static_argnames=("cam", "line_cfg", "n_lil"))
+def make_frame_lines(
+    img, depth_img, cam: Camera, line_cfg: LineConfig, n_lil: int = 64
+) -> FrameLineData:
+    """The line half of the per-frame frontend, one fused dispatch."""
+    lf = detect_lines(img, line_cfg)
+    desc = line_descriptors(img, lf.sp, lf.ep, lf.valid)
+    p3s, p3e, d3, ok3 = fit_lines_3d(cam, depth_img, lf.sp, lf.ep, lf.valid)
+    lil = build_lils(
+        lf.sp, lf.ep, lf.eq2d, lf.valid, p3s, p3e, d3, ok3,
+        n_lil=n_lil, width=cam.width, height=cam.height,
+    )
+    return FrameLineData(
+        sp=lf.sp, ep=lf.ep, eq2d=lf.eq2d, angle=lf.angle, length=lf.length,
+        desc=desc, valid=lf.valid, p3s=p3s, p3e=p3e, dir3d=d3, ok3d=ok3,
+        lil=lil,
     )

@@ -1,0 +1,203 @@
+"""Host-side line & structural-line bookkeeping.
+
+The numpy complement of ops/line_match.py + solver/ba_lil.py: plane
+association of frame LILs against the map (Map::AssociatePlanesByBoundary,
+reference src/Map.cc:204-272), map-line/LIL creation at keyframes
+(CreateNewKeyFrame line path, Tracking.cc:1516-1605; insectline.cc ctor),
+LIL-edge assembly for local BA (Optimizer.cc:2274-2346), and line/LIL
+culling (LocalMapping::MapLineCulling, LocalMapping.cc:237-273).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pslam_tpu.models.map_state import MapState
+from pslam_tpu.solver.ba_lil import LILBAEdges
+from pslam_tpu.utils.config import SlamConfig
+
+
+def world_points_of_lil(state_c: np.ndarray, T_cw: np.ndarray) -> np.ndarray:
+    """Camera-frame LIL 5-point state (..., 15) -> world frame."""
+    pts = state_c.reshape(*state_c.shape[:-1], 5, 3)
+    R = T_cw[:3, :3]
+    t = T_cw[:3, 3]
+    pts_w = (pts - t) @ R  # R^T (X_c - t), row-vector form
+    return pts_w.reshape(state_c.shape)
+
+
+def world_plane(plane_c: np.ndarray, T_cw: np.ndarray) -> np.ndarray:
+    """Camera-frame plane(s) (..., 4) [n, d] (n.X + d = 0) -> world frame,
+    sign-fixed to d >= 0 (Frame::ComputeWorldPlane + the flip in
+    AssociatePlanesByBoundary, Map.cc:231-233)."""
+    R = T_cw[:3, :3]
+    t = T_cw[:3, 3]
+    n_c = plane_c[..., :3]
+    d_c = plane_c[..., 3]
+    n_w = n_c @ R  # R^T n_c
+    d_w = d_c + n_c @ t
+    pl = np.concatenate([n_w, d_w[..., None]], axis=-1)
+    flip = pl[..., 3] < 0
+    pl[flip] = -pl[flip]
+    return pl.astype(np.float32)
+
+
+def associate_planes(
+    m: MapState, lil_state_c, lil_plane_c, lil_valid, T_cw, cfg: SlamConfig
+):
+    """Frame LILs -> map InsectLines by plane similarity.
+
+    Returns (il_id (QF,) int32, -1 where unassociated). Gates: normal |cos|
+    > a_th and mean |signed point-plane distance| of the frame LIL's five
+    world points to the map plane < d_th; best (smallest distance) wins
+    (Map.cc:227-259).
+    """
+    QF = lil_valid.shape[0]
+    out = np.full(QF, -1, np.int32)
+    il_ids = np.flatnonzero(m.il_valid)
+    fsel = np.flatnonzero(lil_valid)
+    if len(il_ids) == 0 or len(fsel) == 0:
+        return out
+
+    pl_f = world_plane(lil_plane_c[fsel], T_cw)  # (F, 4)
+    pts_w = world_points_of_lil(lil_state_c[fsel], T_cw).reshape(-1, 5, 3)
+
+    pl_m = m.il_plane[il_ids]  # (M, 4)
+    cos = np.abs(pl_f[:, :3] @ pl_m[:, :3].T)  # (F, M)
+    # Mean |n_m . p + d_m| over the 5 structure points.
+    d = np.abs(
+        np.einsum("fpj,mj->fpm", pts_w, pl_m[:, :3]) + pl_m[None, None, :, 3]
+    ).mean(axis=1)  # (F, M)
+
+    ok = (cos > cfg.plane_assoc.a_th) & (d < cfg.plane_assoc.d_th)
+    d_masked = np.where(ok, d, np.inf)
+    best = np.argmin(d_masked, axis=1)
+    has = np.isfinite(d_masked[np.arange(len(fsel)), best])
+    out[fsel[has]] = il_ids[best[has]]
+    return out
+
+
+def lil_obs8(lil) -> np.ndarray:
+    """Pack per-frame LIL measurements [eq1, eq2, cross2d] -> (QF, 8)."""
+    return np.concatenate(
+        [np.asarray(lil.eq1), np.asarray(lil.eq2), np.asarray(lil.cross2d)],
+        axis=-1,
+    ).astype(np.float32)
+
+
+def create_or_attach_lils(m: MapState, kf_idx: int, hf, T_cw) -> int:
+    """At keyframe creation: attach associated LIL observations, promote the
+    rest to new map InsectLines. Returns number created."""
+    lil = hf.lil
+    valid = np.asarray(lil.valid)
+    obs8 = lil_obs8(lil)
+    assoc = hf.lil_il  # (QF,) association from tracking
+
+    attach = np.flatnonzero(valid & (assoc >= 0))
+    if len(attach):
+        m.attach_lil_observations(kf_idx, attach, assoc[attach], obs8[attach])
+
+    state_c = np.concatenate(
+        [
+            np.asarray(lil.p1s), np.asarray(lil.p1e),
+            np.asarray(lil.p2s), np.asarray(lil.p2e),
+            np.asarray(lil.cross3d),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    new = np.flatnonzero(valid & (assoc < 0))
+    if len(new):
+        st_w = world_points_of_lil(state_c[new], T_cw)
+        pl_w = world_plane(np.asarray(lil.plane)[new], T_cw)
+        ids = m.create_lils(kf_idx, new, st_w, pl_w, obs8[new])
+        hf.lil_il[new] = ids
+    return len(new)
+
+
+def create_or_attach_lines(m: MapState, kf_idx: int, hf, T_cw) -> int:
+    """Store line features on the KF; create map lines for 3D-valid lines
+    without a map association; attach tracked ones."""
+    NL = m.kf_line_sp.shape[1]
+    m.kf_line_sp[kf_idx] = hf.line_sp
+    m.kf_line_ep[kf_idx] = hf.line_ep
+    m.kf_line_desc[kf_idx] = hf.line_desc
+    m.kf_line_valid[kf_idx] = hf.line_valid
+    tracked = hf.line_ml >= 0
+    m.kf_line_ml[kf_idx] = np.where(hf.line_valid & tracked, hf.line_ml, -1)
+    att = m.kf_line_ml[kf_idx]
+    np.add.at(m.ml_n_obs, att[att >= 0], 1)
+
+    new = np.flatnonzero(hf.line_valid & ~tracked & hf.line_ok3d)
+    if len(new) == 0:
+        return 0
+    R = T_cw[:3, :3]
+    t = T_cw[:3, 3]
+    sp_w = (hf.line_p3s[new] - t) @ R
+    ep_w = (hf.line_p3e[new] - t) @ R
+    pos_w = np.concatenate([sp_w, ep_w], axis=-1).astype(np.float32)
+    ids = m.create_map_lines(kf_idx, new, pos_w, hf.line_desc[new])
+    hf.line_ml[new] = ids
+    return len(ids)
+
+
+def assemble_lil_edges(m: MapState, cam_ids, cfg: SlamConfig):
+    """Gather LIL states + observation edges for the local BA camera set.
+
+    Returns (lil_state (Q,15), lil_valid (Q,), LILBAEdges, il_ids (Q,))
+    or None if no LIL edge involves these cameras. Q = number of distinct
+    LILs observed (padded to a fixed bucket).
+    """
+    e_cam, e_il, e_obs = [], [], []
+    for s, k in enumerate(cam_ids):
+        slots = np.flatnonzero(m.kf_lil_il[k] >= 0)
+        for q in slots:
+            il = m.kf_lil_il[k, q]
+            if not m.il_valid[il]:
+                continue
+            e_cam.append(s)
+            e_il.append(il)
+            e_obs.append(m.kf_lil_obs[k, q])
+    if not e_cam:
+        return None
+    e_cam = np.asarray(e_cam, np.int32)
+    e_il_global = np.asarray(e_il, np.int32)
+    e_obs = np.asarray(e_obs, np.float32)
+
+    il_ids = np.unique(e_il_global)
+    slot_of = {int(g): i for i, g in enumerate(il_ids)}
+    e_il = np.asarray([slot_of[int(g)] for g in e_il_global], np.int32)
+
+    # Pad to fixed capacities (compile-shape buckets).
+    Emax = cfg.caps.ba_lil_edges
+    Qmax = max(16, 1 << (len(il_ids) - 1).bit_length())
+    n_e = min(len(e_cam), Emax)
+
+    def pad(a, shape, fill=0):
+        out = np.full(shape, fill, a.dtype)
+        out[: min(len(a), shape[0])] = a[: shape[0]]
+        return out
+
+    edges = LILBAEdges(
+        cam_idx=pad(e_cam, (Emax,)),
+        lil_idx=pad(e_il, (Emax,)),
+        obs=pad(e_obs, (Emax, 8)),
+        valid=pad(np.ones(n_e, bool), (Emax,)),
+    )
+    lil_state = pad(m.il_state[il_ids], (Qmax, 15)).astype(np.float32)
+    lil_valid = pad(np.ones(len(il_ids), bool), (Qmax,))
+    return lil_state, lil_valid, edges, pad(il_ids, (Qmax,), -1)
+
+
+def cull_lines(m: MapState, cfg: SlamConfig) -> int:
+    """MapLineCulling analogue (LocalMapping.cc:237-273): bad found/visible
+    ratio or too few observations shortly after creation."""
+    ratio = m.ml_found / np.maximum(m.ml_visible, 1)
+    age = m.n_kf - 1 - m.ml_first_kf
+    bad = m.ml_valid & (
+        ((ratio < 0.25) & (m.ml_visible >= 4))
+        | ((age >= 2) & (m.ml_n_obs <= 1) & (m.ml_first_kf > 0))
+    )
+    ids = np.flatnonzero(bad)
+    if len(ids):
+        m.cull_map_lines(ids)
+    return len(ids)

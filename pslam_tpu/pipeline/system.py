@@ -18,13 +18,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from pslam_tpu.models.map_state import MapState
-from pslam_tpu.pipeline import local_mapping
-from pslam_tpu.pipeline.frame_ops import FrameData, make_frame
+from pslam_tpu.pipeline import line_mapping, local_mapping
+from pslam_tpu.pipeline.frame_ops import (
+    FrameData,
+    FrameLineData,
+    make_frame,
+    make_frame_lines,
+)
 from pslam_tpu.pipeline.track_ops import (
     PointSet,
     track_against_points,
     track_local_map_step,
 )
+from pslam_tpu.solver.ba_lil import local_bundle_adjustment_lil
+from pslam_tpu.solver.lil import LILPoseObs
 from pslam_tpu.solver.local_ba import local_bundle_adjustment
 from pslam_tpu.utils.config import SlamConfig
 
@@ -53,6 +60,17 @@ class HostFrame:
     desc: np.ndarray
     valid: np.ndarray
     feat_mp: np.ndarray  # map point id per feature, -1 = none
+    # Line features (present when cfg.use_lines).
+    line_sp: np.ndarray | None = None
+    line_ep: np.ndarray | None = None
+    line_desc: np.ndarray | None = None
+    line_valid: np.ndarray | None = None
+    line_p3s: np.ndarray | None = None
+    line_p3e: np.ndarray | None = None
+    line_ok3d: np.ndarray | None = None
+    line_ml: np.ndarray | None = None  # map-line id per line slot, -1 none
+    lil: FrameLineData | None = None  # .lil LILFeatures (device arrays ok)
+    lil_il: np.ndarray | None = None  # map-InsectLine id per LIL slot
 
 
 class SlamSystem:
@@ -73,10 +91,15 @@ class SlamSystem:
         """Process one RGB-D frame; returns the (4, 4) world->cam pose
         (System::TrackRGBD, System.cc:169)."""
         cam, orb = self.cfg.camera, self.cfg.orb
-        fd: FrameData = make_frame(
-            jnp.asarray(gray, jnp.float32), jnp.asarray(depth, jnp.float32), cam, orb
-        )
+        gray_d = jnp.asarray(gray, jnp.float32)
+        depth_d = jnp.asarray(depth, jnp.float32)
+        fd: FrameData = make_frame(gray_d, depth_d, cam, orb)
         hf = self._to_host(fd, timestamp)
+        if self.cfg.use_lines:
+            fl: FrameLineData = make_frame_lines(
+                gray_d, depth_d, cam, self.cfg.lines, self.cfg.caps.frame_lils
+            )
+            self._lines_to_host(hf, fl)
 
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             self._initialize(hf, fd)
@@ -106,6 +129,18 @@ class SlamSystem:
             feat_mp=np.full(fd.uv.shape[0], -1, np.int32),
         )
 
+    def _lines_to_host(self, hf: HostFrame, fl: FrameLineData):
+        hf.line_sp = np.asarray(fl.sp)
+        hf.line_ep = np.asarray(fl.ep)
+        hf.line_desc = np.asarray(fl.desc)
+        hf.line_valid = np.asarray(fl.valid)
+        hf.line_p3s = np.asarray(fl.p3s)
+        hf.line_p3e = np.asarray(fl.p3e)
+        hf.line_ok3d = np.asarray(fl.ok3d)
+        hf.line_ml = np.full(len(hf.line_valid), -1, np.int32)
+        hf.lil = fl.lil
+        hf.lil_il = np.full(self.cfg.caps.frame_lils, -1, np.int32)
+
     def _initialize(self, hf: HostFrame, fd: FrameData):
         """StereoInitialization (Tracking.cc:555-657): need enough
         depth-valid features, create the first KF and its map points."""
@@ -122,6 +157,9 @@ class SlamSystem:
         X_w = hf.xyz_c[sel]  # identity pose: camera frame == world frame
         ids = self.map.create_points_from_depth(kf, sel, X_w)
         hf.feat_mp[sel] = ids
+        if self.cfg.use_lines and hf.line_valid is not None:
+            line_mapping.create_or_attach_lines(self.map, kf, hf, hf.T_cw)
+            line_mapping.create_or_attach_lils(self.map, kf, hf, hf.T_cw)
         self.ref_kf = kf
         self.state = TrackState.OK
         self.stats["kf_inserted"] += 1
@@ -182,9 +220,16 @@ class SlamSystem:
                 if mp_id >= 0 and int(mp_id) in slot_of_mp and inlier[p_slot]:
                     prior[slot_of_mp[int(mp_id)]] = f_idx
 
+        # --- structural lines: plane association + LIL pose terms ---------
+        lil_obs = None
+        if self.cfg.use_lines and hf.lil is not None:
+            lil_obs = self._associate_lils(hf, np.asarray(res.T_cw))
+            self._track_lines_f2f(hf)
+
         res2 = track_local_map_step(
             cam, res.T_cw, local_set, fd, jnp.asarray(prior),
             cfg_t.local_match_radius, orb.scale, orb.levels,
+            lil=lil_obs,
         )
         hf.T_cw = np.asarray(res2.T_cw)
 
@@ -211,6 +256,58 @@ class SlamSystem:
                 self._create_keyframe(hf)
 
     # ------------------------------------------------------------------
+
+    def _associate_lils(self, hf: HostFrame, T_pred) -> LILPoseObs | None:
+        """Plane-associate frame LILs with map InsectLines and build the
+        fixed-capacity LIL pose-observation set (Tracking.cc:1196-1209 via
+        Map::AssociatePlanesByBoundary)."""
+        lil = hf.lil
+        state_c = np.concatenate(
+            [
+                np.asarray(lil.p1s), np.asarray(lil.p1e),
+                np.asarray(lil.p2s), np.asarray(lil.p2e),
+                np.asarray(lil.cross3d),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        hf.lil_il = line_mapping.associate_planes(
+            self.map, state_c, np.asarray(lil.plane), np.asarray(lil.valid),
+            T_pred, self.cfg,
+        )
+        matched = hf.lil_il >= 0
+        if not matched.any():
+            return None
+        QF = self.cfg.caps.frame_lils
+        state = np.zeros((QF, 15), np.float32)
+        state[matched] = self.map.il_state[hf.lil_il[matched]]
+        obs = line_mapping.lil_obs8(lil)
+        return LILPoseObs(
+            state=jnp.asarray(state),
+            obs=jnp.asarray(obs),
+            valid=jnp.asarray(matched),
+        )
+
+    def _track_lines_f2f(self, hf: HostFrame):
+        """Inherit map-line associations from the previous frame
+        (LSDmatcher::SearchByGeomNApearance bookkeeping, LSDmatcher.cpp:36)."""
+        last = self.last
+        if last is None or last.line_ml is None or not (last.line_ml >= 0).any():
+            return
+        from pslam_tpu.ops.line_match import match_lines_f2f
+
+        idx, _ = match_lines_f2f(
+            jnp.asarray(last.line_desc), jnp.asarray(last.line_sp),
+            jnp.asarray(last.line_ep), jnp.asarray(last.line_valid),
+            jnp.asarray(hf.line_desc), jnp.asarray(hf.line_sp),
+            jnp.asarray(hf.line_ep), jnp.asarray(hf.line_valid),
+            float(self.cfg.camera.width), float(self.cfg.camera.height),
+        )
+        idx = np.asarray(idx)
+        src = np.flatnonzero((idx >= 0) & (last.line_ml >= 0))
+        hf.line_ml[idx[src]] = last.line_ml[src]
+        ml = last.line_ml[src]
+        np.add.at(self.map.ml_visible, ml, 1)
+        np.add.at(self.map.ml_found, ml, 1)
 
     def _point_set(self, mp_ids, cap: int) -> PointSet:
         """Gather a device PointSet snapshot for the given map-point ids."""
@@ -297,6 +394,12 @@ class SlamSystem:
             ids = self.map.create_points_from_depth(kf, sel, X_w.astype(np.float32))
             hf.feat_mp[sel] = ids
 
+        # Lines & structural lines onto the new KF.
+        if self.cfg.use_lines and hf.line_valid is not None:
+            line_mapping.create_or_attach_lines(self.map, kf, hf, hf.T_cw)
+            line_mapping.create_or_attach_lils(self.map, kf, hf, hf.T_cw)
+            self.stats["culled"] += line_mapping.cull_lines(self.map, self.cfg)
+
         # Backend: point culling + local BA (LocalMapping::Run order).
         self.stats["culled"] += local_mapping.cull_points(self.map, self.cfg)
         self._run_local_ba(kf)
@@ -308,9 +411,35 @@ class SlamSystem:
         if out is None:
             return
         prob, cam_ids, pt_ids, e_feat, n_e = out
-        result = local_bundle_adjustment(
-            self.cfg.camera, prob, self.cfg.caps.ba_free
-        )
+
+        lil_pack = None
+        if self.cfg.use_lines:
+            lil_pack = line_mapping.assemble_lil_edges(self.map, cam_ids, self.cfg)
+        if lil_pack is not None:
+            lil_state, lil_valid, ledges, il_ids = lil_pack
+            T_opt, X_opt, lil_opt, in_p, in_l = local_bundle_adjustment_lil(
+                self.cfg.camera, prob, jnp.asarray(lil_state),
+                jnp.asarray(lil_valid), ledges, self.cfg.caps.ba_free,
+            )
+            result = (T_opt, X_opt, in_p, None)
+            # Write back LIL structures + refresh plane offsets (d = -mean
+            # n.p; the rigid-translation update leaves n unchanged).
+            lil_opt = np.asarray(lil_opt)
+            sel = il_ids >= 0
+            ids = il_ids[sel]
+            st = lil_opt[sel]
+            self.map.il_state[ids] = st
+            n = self.map.il_plane[ids, :3]
+            pts = st.reshape(-1, 5, 3)
+            d = -np.einsum("qj,qpj->q", n, pts) / 5.0
+            flip = d < 0
+            pl = np.concatenate([np.where(flip[:, None], -n, n),
+                                 np.abs(d)[:, None]], axis=1)
+            self.map.il_plane[ids] = pl.astype(np.float32)
+        else:
+            result = local_bundle_adjustment(
+                self.cfg.camera, prob, self.cfg.caps.ba_free
+            )
         local_mapping.write_back_ba(
             self.map, result, cam_ids, pt_ids, e_feat, n_e,
             np.asarray(prob.free_slot),

@@ -31,6 +31,7 @@ from pslam_tpu.ops.match import (
 )
 from pslam_tpu.ops.orb import scale_sigma2
 from pslam_tpu.pipeline.frame_ops import FrameData
+from pslam_tpu.solver.lil import LILPoseObs
 from pslam_tpu.solver.pose_opt import PoseObs, pose_optimization
 
 
@@ -51,9 +52,13 @@ class TrackResult(NamedTuple):
     T_cw: jnp.ndarray  # (4, 4) optimized pose
     match_point: jnp.ndarray  # (M,) feature index matched per point, -1 none
     n_matches: jnp.ndarray  # () int32 matches fed to the optimizer
-    n_inliers: jnp.ndarray  # () int32 optimizer inliers
+    n_inliers: jnp.ndarray  # () int32 optimizer point inliers (the final
+    # accept gate uses points only, Tracking.cc:1400-1406)
     inlier: jnp.ndarray  # (M,) bool per-point inlier flag
     visible: jnp.ndarray  # (M,) bool point projected into the frame
+    lil_inlier: jnp.ndarray  # (Nl,) bool LIL inliers (all-False w/o LILs)
+    n_weighted: jnp.ndarray  # () int32 points + 5 x LIL inliers (the
+    # mid-pipeline match gates, Tracking.cc:1037, 1281-1284, 1396)
 
 
 def _project_points(cam: Camera, T_cw, pts: PointSet):
@@ -136,6 +141,24 @@ def _pose_obs_from_matches(pts: PointSet, frame: FrameData, match_idx, sigma2):
     )
 
 
+def _result(T_opt, match_idx, po, inlier, visible, lil, lil_inlier):
+    if lil is None:
+        lil_in = jnp.zeros(1, bool)
+    else:
+        lil_in = lil_inlier & lil.valid
+    n_pts = jnp.sum(inlier.astype(jnp.int32))
+    return TrackResult(
+        T_cw=T_opt,
+        match_point=match_idx,
+        n_matches=jnp.sum(po.valid.astype(jnp.int32)),
+        n_inliers=n_pts,
+        inlier=inlier,
+        visible=visible,
+        lil_inlier=lil_in,
+        n_weighted=n_pts + 5 * jnp.sum(lil_in.astype(jnp.int32)),
+    )
+
+
 @partial(jax.jit, static_argnames=("cam", "orb_scale", "orb_levels", "check_scale"))
 def track_against_points(
     cam: Camera,
@@ -146,22 +169,20 @@ def track_against_points(
     orb_scale: float = 1.2,
     orb_levels: int = 8,
     check_scale: bool = False,
+    lil: LILPoseObs | None = None,
 ) -> TrackResult:
-    """Motion-model / reference-KF tracking step (one dispatch)."""
+    """Motion-model / reference-KF tracking step (one dispatch).
+
+    ``lil``: optional map-associated structural-line observations joining
+    the pose cost with fixed landmarks (Optimizer.cc:619-694).
+    """
     match_idx, visible = _match_points_to_frame(
         cam, T_pred, pts, frame, radius, orb_scale, orb_levels, check_scale
     )
     sigma2 = scale_sigma2_arr(orb_scale, orb_levels)
     po = _pose_obs_from_matches(pts, frame, match_idx, sigma2)
-    T_opt, inlier, chi2 = pose_optimization(cam, T_pred, po)
-    return TrackResult(
-        T_cw=T_opt,
-        match_point=match_idx,
-        n_matches=jnp.sum(po.valid.astype(jnp.int32)),
-        n_inliers=jnp.sum(inlier.astype(jnp.int32)),
-        inlier=inlier,
-        visible=visible,
-    )
+    T_opt, inlier, chi2, lil_inlier = pose_optimization(cam, T_pred, po, lil=lil)
+    return _result(T_opt, match_idx, po, inlier, visible, lil, lil_inlier)
 
 
 def scale_sigma2_arr(scale: float, levels: int):
@@ -178,6 +199,7 @@ def track_local_map_step(
     radius,
     orb_scale: float = 1.2,
     orb_levels: int = 8,
+    lil: LILPoseObs | None = None,
 ) -> TrackResult:
     """TrackLocalMap: match the local-map point set (wider, scale-checked),
     merge with the motion-model matches already held, re-optimize.
@@ -200,12 +222,5 @@ def track_local_map_step(
     match_idx = jnp.where(match_idx >= 0, match_idx, prior_match_idx)
     sigma2 = scale_sigma2_arr(orb_scale, orb_levels)
     po = _pose_obs_from_matches(local_pts, frame, match_idx, sigma2)
-    T_opt, inlier, chi2 = pose_optimization(cam, T_init, po)
-    return TrackResult(
-        T_cw=T_opt,
-        match_point=match_idx,
-        n_matches=jnp.sum(po.valid.astype(jnp.int32)),
-        n_inliers=jnp.sum(inlier.astype(jnp.int32)),
-        inlier=inlier,
-        visible=visible,
-    )
+    T_opt, inlier, chi2, lil_inlier = pose_optimization(cam, T_init, po, lil=lil)
+    return _result(T_opt, match_idx, po, inlier, visible, lil, lil_inlier)

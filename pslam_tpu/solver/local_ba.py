@@ -150,6 +150,10 @@ def _edge_depth(prob: BAProblem, T_all, X_all):
     Xc = transform_points(T_all[prob.cam_idx], X_all[prob.pt_idx])
     return Xc[..., 2]
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("cam", "n_free", "schedule"))
 def local_bundle_adjustment(
     cam: Camera,
     prob: BAProblem,

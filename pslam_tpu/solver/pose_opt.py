@@ -12,8 +12,9 @@ as a jitted Levenberg-Marquardt program over a fixed-capacity masked edge list:
 - outliers can be re-admitted if their chi2 drops back under the gate,
   exactly like the reference's per-round re-check.
 
-Structural-line (LIL) edges join this cost in solver/lil.py; see
-pose_optimization's `extra_terms` hook.
+Structural-line (LIL) edges (solver/lil.py) join the same normal equations
+via the optional ``lil`` argument, mirroring Optimizer.cc:619-694 (LIL
+vertices fixed, info I*0.01, Huber sqrt(11.07), per-round chi2 gate 11.07).
 """
 
 from __future__ import annotations
@@ -24,6 +25,12 @@ import jax
 import jax.numpy as jnp
 
 from pslam_tpu.geometry import Camera, se3_exp
+from pslam_tpu.solver.lil import (
+    CHI2_LIL,
+    LIL_INFO,
+    LILPoseObs,
+    lil_residual_jac,
+)
 from pslam_tpu.solver.reproj import stereo_residual_jac
 from pslam_tpu.solver.robust import CHI2_MONO, CHI2_STEREO, huber_weight
 
@@ -67,39 +74,52 @@ def _gn_system(w_eff, r, J, row_mask):
     return H, b
 
 
+def _lil_terms(cam: Camera, T, lil: LILPoseObs, use_huber, active):
+    """H (6,6), b (6,), cost, chi2 (N,) for LIL edges at pose T (landmarks
+    fixed — reference Optimizer.cc:650)."""
+    r, J, _, _ = lil_residual_jac(cam, T[None], lil.state, lil.obs)
+    chi2 = jnp.sum(r * r, axis=-1) * LIL_INFO
+    delta = jnp.sqrt(CHI2_LIL)
+    w_rob = jnp.where(use_huber, huber_weight(chi2, delta), 1.0)
+    w_eff = w_rob * LIL_INFO * active.astype(r.dtype)
+    H = jnp.einsum("nij,nik,n->jk", J, J, w_eff)
+    b = -jnp.einsum("nij,ni,n->j", J, r, w_eff)
+    cost = jnp.sum(chi2 * w_rob * active.astype(r.dtype))
+    return H, b, cost, chi2
+
+
 def pose_optimization(
     cam: Camera,
     T_init,
     po: PoseObs,
     rounds: int = 4,
     iters_per_round: int = 10,
-    extra_terms=None,
+    lil: LILPoseObs | None = None,
 ):
-    """Optimize a single camera pose against fixed world points.
+    """Optimize a single camera pose against fixed world points (+ fixed
+    structural-line landmarks when ``lil`` is given — the reference adds
+    EdgeLIL terms with LIL vertices held fixed, Optimizer.cc:619-694, gated
+    at chi2 11.07 per round like the point edges).
 
-    ``extra_terms``: optional callable ``T -> (H_x (6,6), b_x (6,), cost_x)``
-    used by the structural-line path to add LIL edges to the same normal
-    equations (reference Optimizer.cc:619-694 adds EdgeLIL terms with the
-    LIL vertices held fixed in pose-only optimization).
-
-    Returns (T_opt, inlier_mask (N,), chi2 (N,)).
+    Returns (T_opt, inlier_mask (N,), chi2 (N,), lil_inlier (Nl,) | None).
     """
+    no_lil = lil is None
 
-    def lm_round(T, active, use_huber):
+    def lm_round(T, active, lil_active, use_huber):
         def body(carry, _):
             T, lam, cost = carry
             chi2, w_eff, r, J, row_mask, _ = _edge_terms(cam, T, po, use_huber, active)
             H, b = _gn_system(w_eff, r, J, row_mask)
-            if extra_terms is not None:
-                H_x, b_x, _ = extra_terms(T)
+            if not no_lil:
+                H_x, b_x, _, _ = _lil_terms(cam, T, lil, use_huber, lil_active)
                 H = H + H_x
                 b = b + b_x
             H = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6, dtype=H.dtype)
             dx = jnp.linalg.solve(H, b)
             T_new = se3_exp(dx) @ T
             *_, cost_new = _edge_terms(cam, T_new, po, use_huber, active)
-            if extra_terms is not None:
-                cost_new = cost_new + extra_terms(T_new)[2]
+            if not no_lil:
+                cost_new = cost_new + _lil_terms(cam, T_new, lil, use_huber, lil_active)[2]
             accept = cost_new < cost
             T_next = jnp.where(accept, T_new, T)
             lam_next = jnp.where(accept, lam * 0.5, lam * 4.0)
@@ -107,23 +127,27 @@ def pose_optimization(
             return (T_next, jnp.clip(lam_next, 1e-10, 1e6), cost_next), None
 
         *_, cost0 = _edge_terms(cam, T, po, use_huber, active)
-        if extra_terms is not None:
-            cost0 = cost0 + extra_terms(T)[2]
+        if not no_lil:
+            cost0 = cost0 + _lil_terms(cam, T, lil, use_huber, lil_active)[2]
         (T_out, _, _), _ = jax.lax.scan(
             body, (T, jnp.asarray(1e-4, T.dtype), cost0), None, length=iters_per_round
         )
         return T_out
 
     active = po.valid
+    lil_active = None if no_lil else lil.valid
     T = T_init
     for rnd in range(rounds):
         use_huber = rnd < 2
-        T = lm_round(T, active, use_huber)
+        T = lm_round(T, active, lil_active, use_huber)
         # Re-classify all valid edges for the next round (outlier gate).
         chi2, *_ = _edge_terms(cam, T, po, False, po.valid)
         is_stereo = po.obs[..., 2] >= 0.0
         gate = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
         active = po.valid & (chi2 <= gate)
+        if not no_lil:
+            *_, lchi2 = _lil_terms(cam, T, lil, False, lil.valid)
+            lil_active = lil.valid & (lchi2 <= CHI2_LIL)
 
     chi2, *_ = _edge_terms(cam, T, po, False, po.valid)
-    return T, active, chi2
+    return T, active, chi2, lil_active

@@ -10,6 +10,7 @@ from __future__ import annotations
 import dataclasses
 
 from pslam_tpu.geometry import Camera
+from pslam_tpu.ops.lines import LineConfig
 from pslam_tpu.ops.orb import OrbConfig
 
 
@@ -22,6 +23,11 @@ class Capacities:
     ba_free: int = 16  # free cameras (1-hop covisibility window)
     ba_points: int = 4096
     ba_edges: int = 16384
+    # Structural-line capacities.
+    max_map_lines: int = 4096
+    max_lils: int = 1024  # map InsectLine landmarks
+    frame_lils: int = 64  # LIL hypotheses per frame
+    ba_lil_edges: int = 512
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,11 +47,22 @@ class TrackingConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class PlaneAssocConfig:
+    """Map::AssociatePlanesByBoundary gates (Tracking.cc:967, 1209, 1329)."""
+
+    d_th: float = 0.05  # mean point-plane distance (m)
+    a_th: float = 0.999  # |cos| plane-normal angle
+
+
+@dataclasses.dataclass(frozen=True)
 class SlamConfig:
     camera: Camera = Camera(fx=517.3, fy=516.5, cx=318.6, cy=255.3, bf=40.0)
     orb: OrbConfig = OrbConfig()
+    lines: LineConfig = LineConfig()
     caps: Capacities = Capacities()
     tracking: TrackingConfig = TrackingConfig()
+    plane_assoc: PlaneAssocConfig = PlaneAssocConfig()
+    use_lines: bool = True  # BASELINE config 1 (points only) sets False
 
     @property
     def th_depth(self) -> float:

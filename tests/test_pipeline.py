@@ -71,3 +71,29 @@ def test_tracking_recovers_pose_each_frame(sequence):
         errs.append(np.linalg.norm(C_est - C_gt))
     # World frame anchored at frame 0 -> absolute comparison is meaningful.
     assert max(errs) < 0.08, errs
+
+
+class TestStructuralLines:
+    def test_lils_created_and_observed(self, tracked):
+        """The structural-line path must actually engage on the box scene
+        (checker texture yields crossing coplanar lines on every wall)."""
+        slam, _ = tracked
+        m = slam.map
+        assert int(m.ml_valid.sum()) > 0, "no map lines created"
+        assert int(m.il_valid.sum()) > 0, "no InsectLine landmarks created"
+        # At least one LIL should be re-observed by a later keyframe
+        # (plane association) once the map has a few keyframes.
+        if m.n_kf >= 3:
+            assert int((m.il_n_obs[m.il_valid] >= 2).sum()) >= 1
+
+    def test_point_only_mode_matches_config1(self, sequence):
+        """BASELINE config 1: use_lines=False runs the pure point slice."""
+        import dataclasses
+
+        cfg, grays, depths, poses_gt = sequence
+        cfg1 = dataclasses.replace(cfg, use_lines=False)
+        slam = SlamSystem(cfg1)
+        for i in range(6):
+            slam.track_rgbd(grays[i], depths[i], i / 30.0)
+        assert slam.state == TrackState.OK
+        assert int(slam.map.il_valid.sum()) == 0

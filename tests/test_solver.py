@@ -85,7 +85,7 @@ class TestPoseOptimization:
         po, T_true, _ = self._problem(3)
         xi_pert = jnp.asarray([0.05, -0.03, 0.04, 0.3, 0.2, -0.25], dtype=jnp.float32)
         T_init = geo.se3_exp(xi_pert) @ T_true
-        T_opt, inliers, chi2 = pose_optimization(CAM, T_init, po)
+        T_opt, inliers, chi2, _ = pose_optimization(CAM, T_init, po)
         err = np.asarray(geo.se3_log(T_opt @ geo.se3_inverse(T_true)))
         assert np.abs(err[:3]).max() < 2e-3, err  # rotation ~< 0.1 deg
         assert np.abs(err[3:]).max() < 1e-2, err  # translation < 1 cm
@@ -95,7 +95,7 @@ class TestPoseOptimization:
         po, T_true, out_idx = self._problem(4, outlier_frac=0.25)
         xi_pert = jnp.asarray([0.02, 0.02, -0.02, 0.1, -0.1, 0.1], dtype=jnp.float32)
         T_init = geo.se3_exp(xi_pert) @ T_true
-        T_opt, inliers, chi2 = pose_optimization(CAM, T_init, po)
+        T_opt, inliers, chi2, _ = pose_optimization(CAM, T_init, po)
         err = np.asarray(geo.se3_log(T_opt @ geo.se3_inverse(T_true)))
         assert np.abs(err[3:]).max() < 2e-2, err
         inl = np.asarray(inliers)
