@@ -74,7 +74,7 @@ class HostFrame:
 
 
 class SlamSystem:
-    def __init__(self, cfg: SlamConfig | None = None):
+    def __init__(self, cfg: SlamConfig | None = None, vocab=None):
         self.cfg = cfg or SlamConfig()
         self.map = MapState(self.cfg)
         self.state = TrackState.NO_IMAGES_YET
@@ -84,6 +84,27 @@ class SlamSystem:
         self.ref_kf = 0
         self.trajectory: list[tuple[float, np.ndarray]] = []
         self.stats = {"ba_runs": 0, "culled": 0, "kf_inserted": 0}
+        # Place recognition DB (System.cc:61-82: vocabulary + KeyFrameDatabase;
+        # trained at startup instead of parsing ORBvoc.txt for minutes).
+        self.kf_db = None
+        if self.cfg.use_bow:
+            from pslam_tpu.ops.bow import default_vocabulary
+            from pslam_tpu.pipeline.keyframe_db import KeyFrameDatabase
+
+            if vocab is None:
+                vocab = default_vocabulary(
+                    k=self.cfg.bow_k, levels=self.cfg.bow_levels
+                )
+            self.kf_db = KeyFrameDatabase(
+                vocab, self.cfg.caps.max_keyframes, self.cfg.orb.capacity
+            )
+        # Loop closing (LoopClosing thread in the reference — shipped
+        # disabled there, enabled here per BASELINE config 4).
+        self.loop_closer = None
+        if self.cfg.use_loop_closing and self.kf_db is not None:
+            from pslam_tpu.pipeline.loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(self)
 
     # ------------------------------------------------------------------
 
@@ -103,6 +124,19 @@ class SlamSystem:
 
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             self._initialize(hf, fd)
+        elif self.state == TrackState.LOST:
+            # Relocalization, or hard reset while the map is still tiny
+            # (Tracking.cc:327, 518-526; System::Reset, System.cc:294).
+            from pslam_tpu.pipeline.relocalization import relocalize
+
+            if self.map.n_kf <= self.cfg.tracking.reset_if_lost_with_kfs:
+                self.reset()
+                self._initialize(hf, fd)
+            elif relocalize(self, hf, fd):
+                self.state = TrackState.OK
+                self.velocity = np.eye(4, dtype=np.float32)
+            else:
+                hf.T_cw = self.last.T_cw.copy()
         else:
             self._track(hf, fd)
 
@@ -153,6 +187,7 @@ class SlamSystem:
             hf.frame_id, hf.timestamp, hf.T_cw, hf.uv, hf.ur, hf.level, hf.angle,
             hf.desc, hf.valid, hf.depth, np.full_like(hf.feat_mp, -1),
         )
+        self._register_kf_bow(kf, hf)
         sel = np.flatnonzero((hf.depth > 0) & hf.valid)
         X_w = hf.xyz_c[sel]  # identity pose: camera frame == world frame
         ids = self.map.create_points_from_depth(kf, sel, X_w)
@@ -376,6 +411,7 @@ class SlamSystem:
             hf.frame_id, hf.timestamp, hf.T_cw, hf.uv, hf.ur, hf.level, hf.angle,
             hf.desc, hf.valid, hf.depth, hf.feat_mp,
         )
+        self._register_kf_bow(kf, hf)
         self.ref_kf = kf
         self.stats["kf_inserted"] += 1
 
@@ -403,6 +439,11 @@ class SlamSystem:
         # Backend: point culling + local BA (LocalMapping::Run order).
         self.stats["culled"] += local_mapping.cull_points(self.map, self.cfg)
         self._run_local_ba(kf)
+
+        # Loop closing on the freshly inserted KF (LoopClosing::Run would
+        # poll its queue; here it runs synchronously after local BA).
+        if self.loop_closer is not None:
+            self.loop_closer.on_new_keyframe(kf)
 
     def _run_local_ba(self, kf_idx: int):
         if self.map.n_kf < 3:
@@ -447,6 +488,34 @@ class SlamSystem:
         self.stats["ba_runs"] += 1
 
     # ------------------------------------------------------------------
+
+    def _register_kf_bow(self, kf: int, hf: HostFrame):
+        """Compute + store the new KF's BoW (KeyFrame::ComputeBoW +
+        KeyFrameDatabase::add)."""
+        if self.kf_db is None:
+            return
+        b, w, nd = self.kf_db.compute_bow(hf.desc, hf.valid)
+        self.kf_db.add(kf, b, w, nd)
+
+    def reset(self):
+        """System::Reset (System.cc:294) / Tracking::Reset (Tracking.cc:2195):
+        clear map, database, trajectory bookkeeping keeps accumulating."""
+        vocab = self.kf_db.vocab if self.kf_db is not None else None
+        self.map = MapState(self.cfg)
+        if self.kf_db is not None:
+            from pslam_tpu.pipeline.keyframe_db import KeyFrameDatabase
+
+            self.kf_db = KeyFrameDatabase(
+                vocab, self.cfg.caps.max_keyframes, self.cfg.orb.capacity
+            )
+        if self.loop_closer is not None:
+            from pslam_tpu.pipeline.loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(self)
+        self.state = TrackState.NOT_INITIALIZED
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.ref_kf = 0
+        self.stats["resets"] = self.stats.get("resets", 0) + 1
 
     def save_trajectory_tum(self, path: str):
         """TUM-format trajectory (System::SaveTrajectoryTUM, System.cc:323)."""

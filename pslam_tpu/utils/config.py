@@ -28,6 +28,11 @@ class Capacities:
     max_lils: int = 1024  # map InsectLine landmarks
     frame_lils: int = 64  # LIL hypotheses per frame
     ba_lil_edges: int = 512
+    # Global BA (loop closing; Optimizer.cc:41-237).
+    gba_cams: int = 128
+    gba_free: int = 64
+    gba_points: int = 8192
+    gba_edges: int = 32768
 
 
 @dataclasses.dataclass(frozen=True)
@@ -44,6 +49,10 @@ class TrackingConfig:
     kf_max_interval: int = 30  # mMaxFrames = fps (Tracking.cc:124-129)
     th_depth_factor: float = 40.0  # ThDepth = 40 * baseline (TUM1.yaml:66)
     max_new_points_per_kf: int = 256
+    # Relocalization (Tracking.cc:2031-2180).
+    reloc_accept_inliers: int = 50  # Tracking.cc:2173
+    reloc_max_candidates: int = 5
+    reset_if_lost_with_kfs: int = 5  # hard reset gate (Tracking.cc:518-526)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,6 +72,12 @@ class SlamConfig:
     tracking: TrackingConfig = TrackingConfig()
     plane_assoc: PlaneAssocConfig = PlaneAssocConfig()
     use_lines: bool = True  # BASELINE config 1 (points only) sets False
+    use_bow: bool = True  # place recognition DB (reloc + loop closing)
+    use_loop_closing: bool = True  # BASELINE config 4 (reference ships it off)
+    loop_gba: bool = True  # global BA after a loop correction
+    # BoW vocabulary shape (ops/bow.py; W = bow_k^bow_levels words).
+    bow_k: int = 10
+    bow_levels: int = 4
 
     @property
     def th_depth(self) -> float:
