@@ -82,7 +82,12 @@ class SlamSystem:
         self.velocity = np.eye(4, dtype=np.float32)
         self.last: HostFrame | None = None
         self.ref_kf = 0
-        self.trajectory: list[tuple[float, np.ndarray]] = []
+        # Trajectory rows are (ts, T_rel, ref_kf): the frame pose RELATIVE to
+        # its reference keyframe (mlRelativeFramePoses, Tracking.cc:534-551),
+        # chained against the CURRENT (loop-corrected) KF pose at save time
+        # (System::SaveTrajectoryTUM, System.cc:323-384). ref_kf == -1 marks a
+        # row frozen to an absolute pose (pre-reset history).
+        self.trajectory: list[tuple[float, np.ndarray, int]] = []
         self.stats = {"ba_runs": 0, "culled": 0, "kf_inserted": 0}
         # Place recognition DB (System.cc:61-82: vocabulary + KeyFrameDatabase;
         # trained at startup instead of parsing ORBvoc.txt for minutes).
@@ -142,7 +147,13 @@ class SlamSystem:
 
         self.last = hf
         self.frame_id += 1
-        self.trajectory.append((timestamp, hf.T_cw.copy()))
+        if self.state == TrackState.OK and self.map.n_kf > 0:
+            T_rel = hf.T_cw @ np.linalg.inv(self.map.kf_pose[self.ref_kf])
+            self.trajectory.append(
+                (timestamp, T_rel.astype(np.float32), int(self.ref_kf))
+            )
+        else:
+            self.trajectory.append((timestamp, hf.T_cw.copy(), -1))
         return hf.T_cw
 
     # ------------------------------------------------------------------
@@ -179,7 +190,9 @@ class SlamSystem:
         """StereoInitialization (Tracking.cc:555-657): need enough
         depth-valid features, create the first KF and its map points."""
         n_depth = int((hf.depth > 0).sum())
-        if n_depth < 500:
+        # Reference gate is a fixed 500 with a 1000-feature budget
+        # (Tracking.cc:560); scale it to the configured capacity.
+        if n_depth < min(500, self.cfg.orb.capacity // 2):
             self.state = TrackState.NOT_INITIALIZED
             return
         hf.T_cw = np.eye(4, dtype=np.float32)
@@ -501,6 +514,12 @@ class SlamSystem:
         """System::Reset (System.cc:294) / Tracking::Reset (Tracking.cc:2195):
         clear map, database, trajectory bookkeeping keeps accumulating."""
         vocab = self.kf_db.vocab if self.kf_db is not None else None
+        # Freeze prior rows to absolute poses — their reference KFs are about
+        # to be destroyed with the map.
+        self.trajectory = [
+            (ts, self._abs_pose(T_rel, ref), -1)
+            for ts, T_rel, ref in self.trajectory
+        ]
         self.map = MapState(self.cfg)
         if self.kf_db is not None:
             from pslam_tpu.pipeline.keyframe_db import KeyFrameDatabase
@@ -517,23 +536,57 @@ class SlamSystem:
         self.ref_kf = 0
         self.stats["resets"] = self.stats.get("resets", 0) + 1
 
-    def save_trajectory_tum(self, path: str):
-        """TUM-format trajectory (System::SaveTrajectoryTUM, System.cc:323)."""
+    def _abs_pose(self, T_rel: np.ndarray, ref_kf: int) -> np.ndarray:
+        """Chain a relative row against the current (possibly loop-corrected)
+        reference-KF pose (System.cc:345-365)."""
+        if ref_kf < 0:
+            return T_rel
+        return (T_rel @ self.map.kf_pose[ref_kf]).astype(np.float32)
+
+    @staticmethod
+    def _write_tum_row(f, ts: float, T_cw: np.ndarray):
         from pslam_tpu.geometry.lie import rotation_to_quaternion
 
         import jax.numpy as jnp_
 
+        R = T_cw[:3, :3]
+        t = T_cw[:3, 3]
+        C = -R.T @ t
+        q = np.asarray(rotation_to_quaternion(jnp_.asarray(R.T)))
+        f.write(
+            f"{ts:.6f} {C[0]:.7f} {C[1]:.7f} {C[2]:.7f} "
+            f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n"
+        )
+
+    def save_trajectory_tum(self, path: str):
+        """TUM-format trajectory (System::SaveTrajectoryTUM, System.cc:323)."""
         with open(path, "w") as f:
-            for ts, T in self.trajectory:
-                R = T[:3, :3]
-                t = T[:3, 3]
-                C = -R.T @ t
-                q = np.asarray(rotation_to_quaternion(jnp_.asarray(R.T)))
-                f.write(
-                    f"{ts:.6f} {C[0]:.7f} {C[1]:.7f} {C[2]:.7f} "
-                    f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n"
-                )
+            for ts, T_rel, ref in self.trajectory:
+                self._write_tum_row(f, ts, self._abs_pose(T_rel, ref))
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        """TUM-format keyframe trajectory (SaveKeyFrameTrajectoryTUM,
+        System.cc:384)."""
+        m = self.map
+        with open(path, "w") as f:
+            for k in range(m.n_kf):
+                if not m.kf_valid[k]:
+                    continue
+                self._write_tum_row(f, float(m.kf_timestamp[k]), m.kf_pose[k])
+
+    def save_trajectory_kitti(self, path: str):
+        """KITTI-format trajectory: row-major 3x4 of T_wc
+        (System::SaveTrajectoryKITTI, System.cc:412-441)."""
+        with open(path, "w") as f:
+            for ts, T_rel, ref in self.trajectory:
+                T = self._abs_pose(T_rel, ref)
+                R = T[:3, :3].T
+                C = -R @ T[:3, 3]
+                vals = np.c_[R, C].reshape(-1)
+                f.write(" ".join(f"{v:.9e}" for v in vals) + "\n")
 
     @property
     def poses(self):
-        return np.stack([T for _, T in self.trajectory])
+        return np.stack(
+            [self._abs_pose(T_rel, ref) for _, T_rel, ref in self.trajectory]
+        )

@@ -107,17 +107,30 @@ def _match_points_to_frame(
         pred_level = pts.level
     sig = jnp.asarray([orb_scale**l for l in range(orb_levels)], jnp.float32)
     r = radius * sig[jnp.clip(pred_level, 0, orb_levels - 1)]
-    box = window_mask(uvr[:, :2], frame.uv, r)
-    lvl_ok = level_window_mask(pred_level, frame.level, -1, 1)
-    dist = hamming_matrix(pts.desc, frame.desc)
-    idx, d = mutual_nn_match(
-        dist,
-        valid_a=visible,
-        valid_b=frame.valid,
-        max_dist=max_dist,
-        ratio=ratio,
-        extra_mask=box & lvl_ok,
-    )
+    from pslam_tpu.utils.backend import use_pallas
+
+    if use_pallas():
+        # Fused Pallas matcher: masks + Hamming + top-2 + mutual never leave
+        # VMEM (ops/pallas_match.py).
+        from pslam_tpu.ops.pallas_match import projection_match
+
+        idx, d = projection_match(
+            uvr[:, :2], r, pred_level - 1, pred_level + 1, visible, pts.desc,
+            frame.uv, frame.level, frame.valid, frame.desc,
+            max_dist=max_dist, ratio=ratio,
+        )
+    else:
+        box = window_mask(uvr[:, :2], frame.uv, r)
+        lvl_ok = level_window_mask(pred_level, frame.level, -1, 1)
+        dist = hamming_matrix(pts.desc, frame.desc)
+        idx, d = mutual_nn_match(
+            dist,
+            valid_a=visible,
+            valid_b=frame.valid,
+            max_dist=max_dist,
+            ratio=ratio,
+            extra_mask=box & lvl_ok,
+        )
     # Rotation consistency over accepted pairs.
     pair_ok = idx >= 0
     f_angle = frame.angle[jnp.maximum(idx, 0)]

@@ -73,13 +73,13 @@ def drifted_world():
         ].astype(np.float32)
         # Camera at z ~ 0 looking down +z; shift along z per segment so the
         # segment's cloud is in front.
-        T = np.asarray(se3_exp(jnp.asarray(xi)))
+        T = np.array(se3_exp(jnp.asarray(xi)))
         T[2, 3] -= base_z  # move camera forward to z = base_z (t = -R C)
         poses_true.append(T.astype(np.float32))
 
     # Rigid drift applied to the revisit section (KFs 9+): world' = W(world).
     xi_w = np.array([0.02, -0.03, 0.025, 0.25, -0.18, 0.22], np.float32)
-    W = np.asarray(se3_exp(jnp.asarray(xi_w)))
+    W = np.array(se3_exp(jnp.asarray(xi_w)))
     W_inv = np.linalg.inv(W)
 
     cloud_ids = {}  # (segment, first-visit?) -> map point ids
