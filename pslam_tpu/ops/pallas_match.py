@@ -30,6 +30,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 N_BITS = 256
 BIG = 1 << 20
+# In-tile sentinel for masked pairs: must stay small enough that
+# TILE_BIG * max(TA, TB) + lane fits in int32 (min-pack argmin trick).
+TILE_BIG = 512
 TA = 128
 TB = 128
 
@@ -37,18 +40,26 @@ TB = 128
 def _match_kernel(
     a_bits_ref, a_par_ref, b_bits_ref, b_par_ref,
     best_ref, second_ref, bestj_ref, colmin_ref, colarg_ref,
-    rb1, rb2, rbj,
+    rb1, rb2, rbj, cmin_scr, carg_scr,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
+    ni = pl.num_programs(0)
     nj = pl.num_programs(1)
 
     # --- pairwise distance tile on the MXU ---------------------------------
+    # +/-1 bits as bfloat16 with f32 accumulation: products are +/-1 and the
+    # sum is <= 256, so the result is exact. b arrives pre-transposed
+    # (N_BITS, TB) so this is a plain (TA,K)x(K,TB) matmul. precision must be
+    # pinned to DEFAULT: the package-global jax_default_matmul_precision=
+    # "highest" would request contract_precision<fp32> on bf16 operands,
+    # which Mosaic rejects on v5e ("Bad lhs type").
     dot = jax.lax.dot_general(
-        a_bits_ref[:], b_bits_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
+        a_bits_ref[:].astype(jnp.bfloat16), b_bits_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ).astype(jnp.int32)
     dist = (N_BITS - dot) >> 1  # (TA, TB)
 
     # --- geometric + validity mask, computed in-register --------------------
@@ -70,14 +81,22 @@ def _match_kernel(
         & aok
         & bok
     )
-    d = jnp.where(mask, dist, BIG)
+    # Valid Hamming distances are <= N_BITS; use a small sentinel so the
+    # min-packed (dist, lane) fits comfortably in int32. (Mosaic has no
+    # int32 argmin lowering on TPU, so argmin is done by packing the lane
+    # index into the low bits and taking a single min.)
+    d = jnp.where(mask, dist, TILE_BIG)
 
     # --- per-row best/second within this tile -------------------------------
-    m1 = jnp.min(d, axis=1)  # (TA,)
-    j1 = jnp.argmin(d, axis=1).astype(jnp.int32)
     col = jax.lax.broadcasted_iota(jnp.int32, (TA, TB), 1)
-    d2 = jnp.where(col == j1[:, None], BIG, d)
+    packed = d * TB + col  # lexicographic (dist, lane) in one int32
+    p1 = jnp.min(packed, axis=1)  # (TA,)
+    m1 = p1 // TB
+    j1 = p1 % TB
+    d2 = jnp.where(col == j1[:, None], TILE_BIG, d)
     m2 = jnp.min(d2, axis=1)
+    m1 = jnp.where(m1 >= TILE_BIG, BIG, m1)
+    m2 = jnp.where(m2 >= TILE_BIG, BIG, m2)
     j1 = j1 + j * TB
 
     # --- merge with the running row state (reset at j == 0) -----------------
@@ -102,20 +121,37 @@ def _match_kernel(
         bestj_ref[0, :] = rbj[0, :]
 
     # --- per-column min accumulated across row tiles -------------------------
-    cm1 = jnp.min(d, axis=0)  # (TB,)
-    ca1 = jnp.argmin(d, axis=0).astype(jnp.int32) + i * TA
+    # The column output block (indexed by j) is revisited once per row tile i,
+    # but those visits are NOT consecutive in the (i-major, j-minor) grid
+    # order, so the output VMEM buffer cannot carry the running state between
+    # them. Instead the running per-column min lives in a full-width VMEM
+    # scratch (scratch persists across the whole sequential TPU grid), and
+    # the output block is written only on the final row tile — its copy-out
+    # is the last one in grid order, so it wins in HBM.
+    row = jax.lax.broadcasted_iota(jnp.int32, (TA, TB), 0)
+    cpacked = jnp.min(d * TA + row, axis=0)  # (TB,)
+    cm1 = cpacked // TA
+    cm1 = jnp.where(cm1 >= TILE_BIG, BIG, cm1)
+    ca1 = cpacked % TA + i * TA
+
+    csl = pl.ds(pl.multiple_of(j * TB, TB), TB)
 
     @pl.when(i == 0)
     def _():
-        colmin_ref[0, :] = cm1
-        colarg_ref[0, :] = ca1
+        cmin_scr[0, csl] = cm1
+        carg_scr[0, csl] = ca1
 
     @pl.when(i > 0)
     def _():
-        prev = colmin_ref[0, :]
+        prev = cmin_scr[0, csl]
         take = cm1 < prev
-        colmin_ref[0, :] = jnp.where(take, cm1, prev)
-        colarg_ref[0, :] = jnp.where(take, ca1, colarg_ref[0, :])
+        cmin_scr[0, csl] = jnp.where(take, cm1, prev)
+        carg_scr[0, csl] = jnp.where(take, ca1, carg_scr[0, csl])
+
+    @pl.when(i == ni - 1)
+    def _():
+        colmin_ref[0, :] = cmin_scr[0, csl]
+        colarg_ref[0, :] = carg_scr[0, csl]
 
 
 def _pad_to(x, n, axis, fill=0):
@@ -142,7 +178,7 @@ def fused_projection_match(
     Nap = -(-Na // TA) * TA
     Nbp = -(-Nb // TB) * TB
     a_bits = _pad_to(a_bits, Nap, 0)
-    b_bits = _pad_to(b_bits, Nbp, 0)
+    b_bits_t = _pad_to(b_bits, Nbp, 0).T  # (N_BITS, Nbp) for plain matmul
     a_par = _pad_to(a_par, Nap, 1)  # padded valid flag = 0 -> masked out
     b_par = _pad_to(b_par, Nbp, 1)
 
@@ -155,7 +191,7 @@ def fused_projection_match(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, TA), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, N_BITS), lambda i, j: (j, 0),
+            pl.BlockSpec((N_BITS, TB), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, TB), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -183,9 +219,11 @@ def fused_projection_match(
             pltpu.VMEM((1, TA), jnp.int32),
             pltpu.VMEM((1, TA), jnp.int32),
             pltpu.VMEM((1, TA), jnp.int32),
+            pltpu.VMEM((1, Nbp), jnp.int32),
+            pltpu.VMEM((1, Nbp), jnp.int32),
         ],
         interpret=interpret,
-    )(a_bits, a_par, b_bits, b_par)
+    )(a_bits, a_par, b_bits_t, b_par)
     best, second, bestj, colmin, colarg = out
     return (
         best[0, :Na], second[0, :Na], bestj[0, :Na],

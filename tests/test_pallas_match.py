@@ -34,6 +34,11 @@ def test_fused_matches_reference(na, nb, seed):
     )
     lev_a = rng.integers(0, 8, na).astype(np.int32)
     lev_b = rng.integers(0, 8, nb).astype(np.int32)
+    # Planted matches must land inside the geometric + octave window, or no
+    # match survives and the test checks nothing.
+    for i, j in enumerate(plant):
+        uv_b[j] = uv_a[i] + rng.normal(0, 2, 2).astype(np.float32)
+        lev_b[j] = lev_a[i]
     val_a = rng.uniform(size=na) > 0.1
     val_b = rng.uniform(size=nb) > 0.1
     radius = rng.uniform(5, 25, na).astype(np.float32)
