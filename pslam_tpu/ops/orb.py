@@ -204,7 +204,10 @@ def _brief_bits(bpatch, angle):
     """
     global _SEL
     if _SEL is None:
-        _SEL = _selection_matrix()
+        # Force eager evaluation: without it a first call under jit would
+        # cache a tracer from that trace and poison every later retrace.
+        with jax.ensure_compile_time_eval():
+            _SEL = _selection_matrix()
     n = bpatch.shape[0]
     flat = bpatch.reshape(n, -1).astype(jnp.bfloat16)
     two_pi = 2.0 * jnp.pi

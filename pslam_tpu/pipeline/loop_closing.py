@@ -38,6 +38,7 @@ from pslam_tpu.geometry.lie import (
     sim3_to_se3,
     sim3_transform_points,
 )
+from pslam_tpu.models.map_state import COVIS_TH
 from pslam_tpu.ops.bow import bow_group_mask, score_l1
 from pslam_tpu.ops.match import (
     TH_LOW,
@@ -266,6 +267,7 @@ class LoopCloser:
         K = m.n_kf
 
         poses_before = m.kf_pose[:K].copy()
+        covis_before = m.covis[:K, :K].copy()
 
         # Current covisible group + corrected Sim3 propagation
         # (LoopClosing.cc:437-470).
@@ -301,27 +303,61 @@ class LoopCloser:
             self._warp_lines_lils(k, warp)
             m.kf_pose[k] = np.asarray(sim3_to_se3(S_k))
 
-        # Fuse loop map points into the current KF (SearchAndFuse-lite,
-        # LoopClosing.cc:516-537): the loop point replaces whatever the
-        # matched feature currently holds.
-        feat = proj_idx
-        sel = np.flatnonzero(feat >= 0)
-        for i in sel:
-            lmp = int(loop_mp_ids[i])
-            f = int(feat[i])
-            old = int(m.kf_feat_mp[kf, f])
-            if old == lmp:
-                continue
-            if old >= 0:
-                m.mp_n_obs[old] -= 1
-            m.kf_feat_mp[kf, f] = lmp
-            m.mp_n_obs[lmp] += 1
-        m._update_covisibility(kf)
+        # SearchAndFuse over the whole corrected group (LoopClosing.cc:516-537
+        # + SearchAndFuse at :587): project the loop neighborhood's map points
+        # through each group member's corrected Sim3 and fuse. A duplicate is
+        # replaced GLOBALLY (MapPoint::Replace semantics) so every observer of
+        # the duplicate switches to the loop point.
+        P = cfg.caps.local_points
+        pos = np.zeros((P, 3), np.float32)
+        desc = np.zeros((P, 32), np.uint8)
+        okp = np.zeros(P, bool)
+        pos[: len(loop_mp_ids)] = m.mp_pos[loop_mp_ids]
+        desc[: len(loop_mp_ids)] = m.mp_desc[loop_mp_ids]
+        okp[: len(loop_mp_ids)] = True
+        for k, S_k in S_corr.items():
+            pidx = np.asarray(
+                _match_by_projection_sim3(
+                    cfg.camera, S_k, jnp.asarray(pos), jnp.asarray(desc),
+                    jnp.asarray(okp), jnp.asarray(m.kf_uv[k]),
+                    jnp.asarray(m.kf_desc[k]), jnp.asarray(m.kf_angle[k]),
+                    jnp.asarray(m.kf_feat_valid[k]), 8.0,
+                )
+            )
+            for i in np.flatnonzero(pidx[: len(loop_mp_ids)] >= 0):
+                lmp = int(loop_mp_ids[i])
+                f = int(pidx[i])
+                old = int(m.kf_feat_mp[k, f])
+                if old == lmp or not m.mp_valid[lmp]:
+                    continue
+                if old >= 0 and m.mp_valid[old]:
+                    self._replace_point(old, lmp)
+                else:
+                    m.kf_feat_mp[k, f] = lmp
+                    m.mp_n_obs[lmp] += 1
+        for k in S_corr:
+            m._update_covisibility(int(k))
+
+        # New loop connections: covisibility edges between the corrected group
+        # and the rest of the graph that appeared only through fusion
+        # (LoopClosing.cc:540-563). Their measurements must come from the
+        # CORRECTED states, not the drifted pre-correction poses.
+        group_set = set(int(g) for g in S_corr)
+        new_conn = []
+        for a in group_set:
+            nbrs = np.flatnonzero(m.covis[a, :K] >= ESSENTIAL_MIN_WEIGHT)
+            for b in nbrs:
+                b = int(b)
+                if b in group_set or covis_before[a, b] >= COVIS_TH:
+                    continue
+                new_conn.append((a, b))
 
         # Essential graph (Optimizer.cc:2536): spanning chain + strong covis
         # + loop edges; loop KF fixed.
         self.loop_edges.append((int(kf), int(loop_kf)))
-        S_opt = self._run_essential_graph(K, poses_before, S_corr, loop_kf)
+        S_opt = self._run_essential_graph(
+            K, poses_before, S_corr, loop_kf, covis_before, new_conn
+        )
 
         # Write back poses + landmark correction via each landmark's
         # reference KF (Optimizer.cc:2759-2797).
@@ -345,6 +381,18 @@ class LoopCloser:
 
             run_global_ba(m, cfg)
             self.stats["gba_runs"] += 1
+
+    def _replace_point(self, old: int, new: int):
+        """MapPoint::Replace — every observer of ``old`` switches to ``new``;
+        counters transfer; ``old`` dies (MapPoint.cc Replace)."""
+        m = self.sys.map
+        n = m.n_kf
+        mask = m.kf_feat_mp[:n] == old
+        m.kf_feat_mp[:n][mask] = new
+        m.mp_n_obs[new] += m.mp_n_obs[old]
+        m.mp_found[new] += m.mp_found[old]
+        m.mp_visible[new] += m.mp_visible[old]
+        m.mp_valid[old] = False
 
     def _warp_lines_lils(self, k: int, warp: Sim3):
         m = self.sys.map
@@ -377,8 +425,8 @@ class LoopCloser:
                 [np.where(flip[:, None], -n, n), np.abs(d)[:, None]], axis=1
             ).astype(np.float32)
 
-    def _run_essential_graph(self, K, poses_before, S_corr, loop_kf):
-        m = self.sys.map
+    def _run_essential_graph(self, K, poses_before, S_corr, loop_kf,
+                             covis_before, new_conn):
         Kc = self.sys.cfg.caps.max_keyframes
 
         s = np.ones(Kc, np.float32)
@@ -393,13 +441,19 @@ class LoopCloser:
                 R[k] = poses_before[k][:3, :3]
                 t[k] = poses_before[k][:3, 3]
 
-        # Edges from PRE-correction relative poses (Optimizer.cc:2614-2657:
-        # spanning tree + covis >= minFeat), plus loop edges measured at the
-        # corrected states.
+        # Pre-existing structure edges are measured from PRE-correction
+        # relative poses (Optimizer.cc:2614-2657: spanning tree + covis >=
+        # minFeat use NonCorrectedSim3); loop edges and the NEW post-fusion
+        # loop connections are measured at the CORRECTED states
+        # (Optimizer.cc:2601-2612 builds them from vScw).
         ei, ej, ms, mR, mt = [], [], [], [], []
+        inserted = set()
 
         def add_edge(i, j, Ti, Tj):
             # S_ji = S_j o S_i^-1 from the given SE3 poses (scale 1).
+            if (min(i, j), max(i, j)) in inserted:
+                return
+            inserted.add((min(i, j), max(i, j)))
             Tji = Tj @ np.linalg.inv(Ti)
             ei.append(i)
             ej.append(j)
@@ -407,15 +461,10 @@ class LoopCloser:
             mR.append(Tji[:3, :3])
             mt.append(Tji[:3, 3])
 
-        for k in range(1, K):
-            add_edge(k - 1, k, poses_before[k - 1], poses_before[k])
-        covis = m.covis[:K, :K]
-        ii, jj = np.nonzero(np.triu(covis, 2) >= ESSENTIAL_MIN_WEIGHT)
-        for a, b in zip(ii, jj):
-            add_edge(int(a), int(b), poses_before[a], poses_before[b])
-        for a, b in self.loop_edges:
-            # Measurement from the CURRENT (corrected) states (LoopClosing
-            # passes corrected Sim3s into the loop-edge set).
+        def add_corrected_edge(a, b):
+            if (min(a, b), max(a, b)) in inserted:
+                return
+            inserted.add((min(a, b), max(a, b)))
             Sa = Sim3(
                 s=jnp.asarray(s[a]), R=jnp.asarray(R[a]), t=jnp.asarray(t[a])
             )
@@ -428,6 +477,16 @@ class LoopCloser:
             ms.append(float(np.asarray(Sba.s)))
             mR.append(np.asarray(Sba.R))
             mt.append(np.asarray(Sba.t))
+
+        for a, b in self.loop_edges:
+            add_corrected_edge(a, b)
+        for a, b in new_conn:
+            add_corrected_edge(a, b)
+        for k in range(1, K):
+            add_edge(k - 1, k, poses_before[k - 1], poses_before[k])
+        ii, jj = np.nonzero(np.triu(covis_before, 2) >= ESSENTIAL_MIN_WEIGHT)
+        for a, b in zip(ii, jj):
+            add_edge(int(a), int(b), poses_before[a], poses_before[b])
 
         E = len(ei)
         fixed = np.zeros(Kc, bool)
