@@ -26,6 +26,11 @@ from pslam_tpu.utils.config import SlamConfig
 
 COVIS_TH = 15  # covisibility edge weight threshold (KeyFrame.cc:488)
 
+# Byte popcount table for vectorized host-side Hamming distances.
+_POP = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.int32)
+
 
 class MapState:
     def __init__(self, cfg: SlamConfig):
@@ -34,8 +39,11 @@ class MapState:
         P = cfg.caps.max_map_points
         N = cfg.orb.capacity
 
-        # Keyframes.
+        # Keyframes. ``n_kf`` is the slot high-water mark; culled slots are
+        # recycled by add_keyframe, so slot order is NOT temporal order —
+        # use kf_frame_id for age. ``last_kf`` is the most recent insertion.
         self.n_kf = 0
+        self.last_kf = -1
         self.kf_valid = np.zeros(K, bool)
         self.kf_pose = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))  # T_cw
         self.kf_frame_id = np.zeros(K, np.int64)
@@ -87,6 +95,13 @@ class MapState:
         self.kf_line_desc = np.zeros((K, NL, 40), np.float32)
         self.kf_line_valid = np.zeros((K, NL), bool)
         self.kf_line_ml = np.full((K, NL), -1, np.int32)
+        # Camera-frame 3D endpoints from the depth fit (isLineGood,
+        # Frame.cc:662-750) — kept per KF so LocalMapping::CreateNewMapLines2's
+        # RGB-D path (take the 3D line from EITHER view's depth,
+        # LocalMapping.cc:619-639) can triangulate later.
+        self.kf_line_p3s = np.zeros((K, NL, 3), np.float32)
+        self.kf_line_p3e = np.zeros((K, NL, 3), np.float32)
+        self.kf_line_ok3d = np.zeros((K, NL), bool)
 
         # ------------------------------------------------------------------
         # Structural-line landmarks (InsectLine, add_src/insectline.cc:
@@ -134,12 +149,17 @@ class MapState:
         self, frame_id, timestamp, T_cw, uv, ur, level, angle, desc, feat_valid,
         depth, feat_mp,
     ) -> int:
-        """Insert a keyframe; returns its index. ``feat_mp`` is the tracked
-        map-point id per feature (-1 if none)."""
-        k = self.n_kf
-        if k >= self.kf_valid.shape[0]:
-            raise RuntimeError("keyframe capacity exhausted")
-        self.n_kf += 1
+        """Insert a keyframe; returns its slot index (recycles culled slots).
+        ``feat_mp`` is the tracked map-point id per feature (-1 if none)."""
+        free = np.flatnonzero(~self.kf_valid[: self.n_kf])
+        if len(free):
+            k = int(free[0])
+        else:
+            k = self.n_kf
+            if k >= self.kf_valid.shape[0]:
+                raise RuntimeError("keyframe capacity exhausted")
+            self.n_kf += 1
+        self.last_kf = k
         self.kf_valid[k] = True
         self.kf_frame_id[k] = frame_id
         self.kf_timestamp[k] = timestamp
@@ -152,6 +172,11 @@ class MapState:
         self.kf_feat_valid[k] = feat_valid
         self.kf_feat_depth[k] = depth
         self.kf_feat_mp[k] = np.where(feat_valid, feat_mp, -1)
+        # Recycled slots: scrub stale line/LIL observations.
+        self.kf_line_valid[k] = False
+        self.kf_line_ml[k] = -1
+        self.kf_line_ok3d[k] = False
+        self.kf_lil_il[k] = -1
         self._attach_observations(k)
         self._update_covisibility(k)
         return k
@@ -162,21 +187,26 @@ class MapState:
         np.add.at(self.mp_n_obs, obs, 1)
 
     def _update_covisibility(self, k: int):
-        """Shared-observation counts between KF k and all previous KFs,
-        computed as one sparse-intersection pass (KeyFrame::UpdateConnections)."""
+        """Shared-observation counts between KF k and all other KFs
+        (KeyFrame::UpdateConnections, KeyFrame.cc:383-497), as one vectorized
+        membership-lookup pass over the (K, N) observation table instead of
+        the reference's per-KF set intersections."""
+        n = self.n_kf
         mp_k = self.kf_feat_mp[k]
-        mp_k = mp_k[mp_k >= 0]
+        mp_k = np.unique(mp_k[mp_k >= 0])
+        self.covis[k, :n] = 0
+        self.covis[:n, k] = 0
         if len(mp_k) == 0:
             return
-        # Membership table over map points -> count per other KF.
-        for j in range(self.n_kf):
-            if j == k or not self.kf_valid[j]:
-                continue
-            mp_j = self.kf_feat_mp[j]
-            mp_j = mp_j[mp_j >= 0]
-            c = len(np.intersect1d(mp_k, mp_j, assume_unique=False))
-            self.covis[k, j] = c
-            self.covis[j, k] = c
+        in_k = np.zeros(self.mp_valid.shape[0], bool)
+        in_k[mp_k] = True
+        obs = self.kf_feat_mp[:n]
+        hit = (obs >= 0) & in_k[np.maximum(obs, 0)]
+        c = hit.sum(axis=1).astype(np.int32)
+        c[~self.kf_valid[:n]] = 0
+        c[k] = 0
+        self.covis[k, :n] = c
+        self.covis[:n, k] = c
 
     # ------------------------------------------------------------------
     # Map point creation / maintenance
@@ -322,10 +352,137 @@ class MapState:
             mp = mp[order[:cap]]
         return mp.astype(np.int32)
 
-    def update_point_stats(self, kf_idx=None):
-        """Refresh distinctive descriptors & normals for points observed by
-        ``kf_idx`` (or all). Distinctive descriptor = min-median-Hamming
-        (ComputeDistinctiveDescriptors, MapPoint.cc) — approximated by the
-        most recent observation's descriptor for speed; normals averaged."""
-        # Kept simple for now; refined by solver write-backs.
-        pass
+    def camera_centers(self):
+        """(n_kf, 3) camera centers C = -R^T t for all KF slots."""
+        n = self.n_kf
+        R = self.kf_pose[:n, :3, :3]
+        t = self.kf_pose[:n, :3, 3]
+        return -np.einsum("kji,kj->ki", R, t).astype(np.float32)
+
+    def add_point_obs(self, kf_idx: int, feat_idx, mp_ids):
+        """Attach observations of existing map points to KF feature slots
+        (MapPoint::AddObservation + KeyFrame::AddMapPoint)."""
+        feat_idx = np.asarray(feat_idx, np.int64)
+        mp_ids = np.asarray(mp_ids, np.int32)
+        prev = self.kf_feat_mp[kf_idx, feat_idx]
+        np.add.at(self.mp_n_obs, prev[prev >= 0], -1)
+        self.kf_feat_mp[kf_idx, feat_idx] = mp_ids
+        np.add.at(self.mp_n_obs, mp_ids, 1)
+
+    def replace_map_point(self, old: int, new: int):
+        """MapPoint::Replace (MapPoint.cc): every observer of ``old``
+        switches to ``new`` unless it already observes ``new`` (then the
+        duplicate observation is erased); counters transfer; ``old`` dies."""
+        if old == new or not self.mp_valid[old]:
+            return
+        n = self.n_kf
+        tab = self.kf_feat_mp[:n]
+        sees_new = (tab == new).any(axis=1)
+        rows, cols = np.nonzero(tab == old)
+        dup = sees_new[rows]
+        tab[rows[dup], cols[dup]] = -1
+        tab[rows[~dup], cols[~dup]] = new
+        self.mp_n_obs[new] += int((~dup).sum())
+        self.mp_found[new] += self.mp_found[old]
+        self.mp_visible[new] += self.mp_visible[old]
+        self.mp_valid[old] = False
+
+    def erase_keyframe(self, k: int):
+        """Remove KF ``k`` from the map: detach all its point/line/LIL
+        observations, clear its covisibility row, free the slot for reuse
+        (KeyFrame::SetBadFlag, KeyFrame.cc:533-608)."""
+        mp = self.kf_feat_mp[k]
+        obs = mp[mp >= 0]
+        np.add.at(self.mp_n_obs, obs, -1)
+        self.kf_feat_mp[k] = -1
+        ml = self.kf_line_ml[k]
+        np.add.at(self.ml_n_obs, ml[ml >= 0], -1)
+        self.kf_line_ml[k] = -1
+        self.kf_line_valid[k] = False
+        self.kf_line_ok3d[k] = False
+        il = self.kf_lil_il[k]
+        np.add.at(self.il_n_obs, il[il >= 0], -1)
+        self.kf_lil_il[k] = -1
+        self.kf_valid[k] = False
+        self.kf_feat_valid[k] = False
+        self.covis[k, :] = 0
+        self.covis[:, k] = 0
+        if len(obs):
+            self.update_point_stats(np.unique(obs))
+
+    def update_point_stats(self, ids=None):
+        """Refresh distinctive descriptor, mean viewing normal, and
+        scale-invariance distances for the given map points (or all).
+
+        Vectorized equivalent of MapPoint::ComputeDistinctiveDescriptors
+        (min-median Hamming over the point's observation descriptors) and
+        MapPoint::UpdateNormalAndDepth (MapPoint.cc). Observation lists are
+        gathered from the kf_feat_mp table and capped at 8 per point.
+        """
+        if ids is None:
+            ids = np.flatnonzero(self.mp_valid)
+        ids = np.asarray(ids, np.int64).reshape(-1)
+        if len(ids) == 0:
+            return
+        ids = ids[self.mp_valid[ids]]
+        n = self.n_kf
+        if len(ids) == 0 or n == 0:
+            return
+        obs_tab = self.kf_feat_mp[:n]
+        in_sel = np.zeros(self.mp_valid.shape[0], bool)
+        in_sel[ids] = True
+        hit = (obs_tab >= 0) & in_sel[np.maximum(obs_tab, 0)]
+        hit &= self.kf_valid[:n, None]
+        kk, ff = np.nonzero(hit)
+        if len(kk) == 0:
+            return
+        mp = obs_tab[kk, ff]
+        order = np.argsort(mp, kind="stable")
+        kk, ff, mp = kk[order], ff[order], mp[order]
+        uniq, start, inv, cnt = np.unique(
+            mp, return_index=True, return_inverse=True, return_counts=True
+        )
+
+        # --- distinctive descriptor: min median pairwise Hamming -----------
+        MAXO = 8
+        offs = np.arange(MAXO)
+        take = start[:, None] + np.minimum(offs[None, :], cnt[:, None] - 1)
+        kk_m, ff_m = kk[take], ff[take]  # (U, MAXO), padded by repetition
+        valid_o = offs[None, :] < cnt[:, None]
+        descs = self.kf_desc[kk_m, ff_m]  # (U, MAXO, 32) uint8
+        ham = _POP[descs[:, :, None, :] ^ descs[:, None, :, :]].sum(-1)
+        pair_ok = valid_o[:, None, :] & valid_o[:, :, None]
+        ham_f = np.where(pair_ok, ham, np.inf)
+        srt = np.sort(ham_f, axis=2)
+        med_col = np.minimum(cnt, MAXO)[:, None] // 2
+        med = np.take_along_axis(srt, med_col[:, :, None].repeat(MAXO, 1), 2)[
+            :, :, 0
+        ]
+        med = np.where(valid_o, med, np.inf)
+        best = np.argmin(med, axis=1)
+        self.mp_desc[uniq] = descs[np.arange(len(uniq)), best]
+
+        # --- mean viewing normal -------------------------------------------
+        C = self.camera_centers()
+        d = self.mp_pos[mp] - C[kk]
+        dn = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-9)
+        nsum = np.zeros((len(uniq), 3), np.float64)
+        np.add.at(nsum, inv, dn)
+        nrm = np.linalg.norm(nsum, axis=1, keepdims=True)
+        self.mp_normal[uniq] = (nsum / np.maximum(nrm, 1e-9)).astype(np.float32)
+
+        # --- scale-invariance band from the oldest observation -------------
+        # Per-group argmin over kf_frame_id via a keyed scatter-min.
+        age = self.kf_frame_id[kk]
+        key = age.astype(np.int64) * len(kk) + np.arange(len(kk))
+        best_key = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(best_key, inv, key)
+        ref_pick = best_key % len(kk)
+        kk_r, ff_r = kk[ref_pick], ff[ref_pick]
+        dist_ref = np.linalg.norm(self.mp_pos[uniq] - C[kk_r], axis=1)
+        lvl = self.kf_level[kk_r, ff_r]
+        scale = self.cfg.orb.scale
+        self.mp_max_dist[uniq] = (dist_ref * scale**lvl).astype(np.float32)
+        self.mp_min_dist[uniq] = self.mp_max_dist[uniq] / (
+            scale ** (self.cfg.orb.levels - 1)
+        )

@@ -25,9 +25,13 @@ def assemble_global_ba(m: MapState, cfg: SlamConfig):
     K = m.n_kf
     if K < 2:
         return None
-    cam_ids = list(range(K))[: caps.gba_cams]
-    # Free: everything except KF 0 (gauge; Optimizer.cc:119 setFixed(id==0)),
-    # capped; newest keyframes get priority for free slots.
+    alive = np.flatnonzero(m.kf_valid[:K])
+    alive = alive[np.argsort(m.kf_frame_id[alive], kind="stable")]
+    cam_ids = [int(k) for k in alive][: caps.gba_cams]
+    if len(cam_ids) < 2:
+        return None
+    # Free: everything except the oldest KF (gauge; Optimizer.cc:119
+    # setFixed(id==0)), capped; newest keyframes get priority for free slots.
     n_free_cap = caps.gba_free
     free = cam_ids[1:]
     if len(free) > n_free_cap:

@@ -122,6 +122,9 @@ def create_or_attach_lines(m: MapState, kf_idx: int, hf, T_cw) -> int:
     m.kf_line_ep[kf_idx] = hf.line_ep
     m.kf_line_desc[kf_idx] = hf.line_desc
     m.kf_line_valid[kf_idx] = hf.line_valid
+    m.kf_line_p3s[kf_idx] = hf.line_p3s
+    m.kf_line_p3e[kf_idx] = hf.line_p3e
+    m.kf_line_ok3d[kf_idx] = hf.line_ok3d
     tracked = hf.line_ml >= 0
     m.kf_line_ml[kf_idx] = np.where(hf.line_valid & tracked, hf.line_ml, -1)
     att = m.kf_line_ml[kf_idx]
@@ -186,6 +189,162 @@ def assemble_lil_edges(m: MapState, cam_ids, cfg: SlamConfig):
     lil_state = pad(m.il_state[il_ids], (Qmax, 15)).astype(np.float32)
     lil_valid = pad(np.ones(len(il_ids), bool), (Qmax,))
     return lil_state, lil_valid, edges, pad(il_ids, (Qmax,), -1)
+
+
+def _project_lines_to_view(cam, T_cw: np.ndarray, pos_w: np.ndarray):
+    """World 6-DoF segments (M, 6) -> projected 2D endpoints + positive-depth
+    mask in the view with pose T_cw (host numpy)."""
+    R, t = T_cw[:3, :3], T_cw[:3, 3]
+    sp_c = pos_w[:, :3] @ R.T + t
+    ep_c = pos_w[:, 3:] @ R.T + t
+    ok = (sp_c[:, 2] > 0.05) & (ep_c[:, 2] > 0.05)
+
+    def proj(X):
+        z = np.maximum(X[:, 2], 1e-9)
+        return np.stack(
+            [cam.fx * X[:, 0] / z + cam.cx, cam.fy * X[:, 1] / z + cam.cy],
+            axis=-1,
+        ).astype(np.float32)
+
+    return proj(sp_c), proj(ep_c), ok
+
+
+def match_map_lines_to_view(
+    m: MapState, ml_ids: np.ndarray, T_cw: np.ndarray,
+    f_sp, f_ep, f_desc, f_valid, cfg: SlamConfig, radius: float = 8.0,
+):
+    """Project map lines into a view and match them against its line features
+    (LSDmatcher::SearchByProjection, add_src/LSDmatcher.cpp:112-260).
+    Returns (idx (M,) frame-line slot or -1)."""
+    import jax.numpy as jnp
+
+    from pslam_tpu.ops.line_match import match_lines_projection
+
+    cap = 1 << max(6, int(np.ceil(np.log2(max(len(ml_ids), 1)))))
+
+    def pad(a, fill=0):
+        out = np.full((cap,) + a.shape[1:], fill, a.dtype)
+        out[: len(a)] = a
+        return out
+
+    sp2, ep2, okz = _project_lines_to_view(cfg.camera, T_cw, m.ml_pos[ml_ids])
+    W, H = cfg.camera.width, cfg.camera.height
+    in_img = (
+        (sp2[:, 0] > -50) & (sp2[:, 0] < W + 50)
+        & (sp2[:, 1] > -50) & (sp2[:, 1] < H + 50)
+    )
+    vmask = okz & in_img & m.ml_valid[ml_ids]
+    idx, _ = match_lines_projection(
+        jnp.asarray(pad(sp2)), jnp.asarray(pad(ep2)),
+        None, jnp.asarray(pad(m.ml_desc[ml_ids])), jnp.asarray(pad(vmask)),
+        jnp.asarray(f_sp), jnp.asarray(f_ep), jnp.asarray(f_desc),
+        jnp.asarray(f_valid), radius,
+    )
+    return np.asarray(idx)[: len(ml_ids)]
+
+
+def local_map_lines(m: MapState, kf_ids, cap: int = 512) -> np.ndarray:
+    """Union of map lines observed by the given KFs (UpdateLocalLines,
+    Tracking.cc:1887-1903)."""
+    if len(kf_ids) == 0:
+        return np.zeros(0, np.int32)
+    ml = m.kf_line_ml[np.asarray(kf_ids)].reshape(-1)
+    ml = np.unique(ml[ml >= 0])
+    ml = ml[m.ml_valid[ml]]
+    if len(ml) > cap:
+        ml = ml[np.argsort(-m.ml_n_obs[ml])[:cap]]
+    return ml.astype(np.int32)
+
+
+def track_local_map_lines(system, hf, T_cw: np.ndarray) -> int:
+    """SearchLocalLines (Tracking.cc:1754-1838): project the local map's
+    lines into the current frame, match, and record associations on the
+    frame so they survive into keyframe creation."""
+    m = system.map
+    kf_ids = system._local_keyframes()
+    ml_ids = local_map_lines(m, kf_ids)
+    if len(ml_ids) == 0:
+        return 0
+    idx = match_map_lines_to_view(
+        m, ml_ids, T_cw, hf.line_sp, hf.line_ep, hf.line_desc, hf.line_valid,
+        system.cfg,
+    )
+    got = (idx >= 0) & (hf.line_ml[np.maximum(idx, 0)] < 0)
+    sel = np.flatnonzero(got)
+    hf.line_ml[idx[sel]] = ml_ids[sel]
+    np.add.at(m.ml_visible, ml_ids[idx >= 0], 1)
+    np.add.at(m.ml_found, ml_ids[sel], 1)
+    return len(sel)
+
+
+def create_new_map_lines(m: MapState, kf: int, cfg: SlamConfig) -> int:
+    """CreateNewMapLines2, RGB-D path (LocalMapping.cc:522-759): for each
+    covisible neighbour, project the new KF's depth-fitted 3D lines into the
+    neighbour and require a matching 2D line there (two-view verification,
+    LocalMapping.cc:662-710). Verified unassociated lines become map lines
+    with observations in both KFs; matches onto the neighbour's already-
+    mapped lines attach instead (LSDmatcher::Fuse, LSDmatcher.cpp:847)."""
+    neighbors = m.best_covisible(kf, 10)
+    if len(neighbors) == 0:
+        return 0
+    T_wc = np.linalg.inv(m.kf_pose[kf])
+    created = 0
+    for nkf in neighbors:
+        nkf = int(nkf)
+        free = np.flatnonzero(
+            m.kf_line_valid[kf] & m.kf_line_ok3d[kf] & (m.kf_line_ml[kf] < 0)
+        )
+        if len(free) == 0:
+            break
+        sp_w = m.kf_line_p3s[kf, free] @ T_wc[:3, :3].T + T_wc[:3, 3]
+        ep_w = m.kf_line_p3e[kf, free] @ T_wc[:3, :3].T + T_wc[:3, 3]
+        pos_w = np.concatenate([sp_w, ep_w], axis=-1).astype(np.float32)
+
+        # Project candidate world lines into the neighbour + match.
+        cap = 1 << max(6, int(np.ceil(np.log2(max(len(free), 1)))))
+
+        def pad(a, fill=0):
+            out = np.full((cap,) + a.shape[1:], fill, a.dtype)
+            out[: len(a)] = a
+            return out
+
+        import jax.numpy as jnp
+
+        from pslam_tpu.ops.line_match import match_lines_projection
+
+        sp2, ep2, okz = _project_lines_to_view(
+            cfg.camera, m.kf_pose[nkf], pos_w
+        )
+        idx, _ = match_lines_projection(
+            jnp.asarray(pad(sp2)), jnp.asarray(pad(ep2)), None,
+            jnp.asarray(pad(m.kf_line_desc[kf, free])),
+            jnp.asarray(pad(okz)),
+            jnp.asarray(m.kf_line_sp[nkf]), jnp.asarray(m.kf_line_ep[nkf]),
+            jnp.asarray(m.kf_line_desc[nkf]), jnp.asarray(m.kf_line_valid[nkf]),
+            8.0,
+        )
+        idx = np.asarray(idx)[: len(free)]
+        hit = np.flatnonzero(idx >= 0)
+        if len(hit) == 0:
+            continue
+        f1, f2 = free[hit], idx[hit]
+        exist = m.kf_line_ml[nkf, f2]
+        # Attach to the neighbour's existing map line where it has one.
+        att = exist >= 0
+        if att.any():
+            m.kf_line_ml[kf, f1[att]] = exist[att]
+            np.add.at(m.ml_n_obs, exist[att], 1)
+            np.add.at(m.ml_found, exist[att], 1)
+        # Otherwise mint a new map line observed by both.
+        new = ~att
+        if new.any():
+            ids = m.create_map_lines(
+                kf, f1[new], pos_w[hit[new]], m.kf_line_desc[kf, f1[new]]
+            )
+            m.kf_line_ml[nkf, f2[new]] = ids
+            np.add.at(m.ml_n_obs, ids, 1)
+            created += len(ids)
+    return created
 
 
 def cull_lines(m: MapState, cfg: SlamConfig) -> int:

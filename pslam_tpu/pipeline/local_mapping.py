@@ -9,8 +9,13 @@ fixed-capacity BAProblem.
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
+from pslam_tpu.geometry import Camera
 from pslam_tpu.models.map_state import MapState
 from pslam_tpu.solver.local_ba import BAProblem
 from pslam_tpu.utils.config import SlamConfig
@@ -55,7 +60,7 @@ def assemble_local_ba(map_state: MapState, kf_idx: int, cfg: SlamConfig):
     cam_ids = free_ids + fixed_ids[: caps.ba_cams - len(free_ids)]
     if len(free_ids) == len(cam_ids) and len(cam_ids) > 1:
         # No fixed camera at all -> fix the oldest free one for gauge.
-        oldest = min(free_ids)
+        oldest = min(free_ids, key=lambda k: int(map_state.kf_frame_id[k]))
         free_ids = [k for k in free_ids if k != oldest]
         free_set = set(free_ids)
 
@@ -147,6 +152,244 @@ def write_back_ba(map_state: MapState, result, cam_ids, pt_ids, e_feat, n_e, fre
         mp_ids = map_state.kf_feat_mp[kf_i, ft_i]
         map_state.kf_feat_mp[kf_i, ft_i] = -1
         np.add.at(map_state.mp_n_obs, mp_ids[mp_ids >= 0], -1)
+
+
+def _kf_view(m: MapState, k: int, free_mask):
+    """Package KF ``k``'s features as a device KFView for the triangulator."""
+    from pslam_tpu.ops.triangulate import KFView
+
+    return KFView(
+        T_cw=jnp.asarray(m.kf_pose[k]),
+        uv=jnp.asarray(m.kf_uv[k]),
+        ur=jnp.asarray(m.kf_ur[k]),
+        depth=jnp.asarray(m.kf_feat_depth[k]),
+        level=jnp.asarray(m.kf_level[k]),
+        angle=jnp.asarray(m.kf_angle[k]),
+        desc=jnp.asarray(m.kf_desc[k]),
+        free=jnp.asarray(free_mask),
+    )
+
+
+def create_new_map_points(m: MapState, kf: int, cfg: SlamConfig) -> int:
+    """Epipolar triangulation of new map points between the new KF and its
+    top-10 covisible neighbours (LocalMapping::CreateNewMapPoints,
+    LocalMapping.cc:275-520 + ORBmatcher::SearchForTriangulation,
+    ORBmatcher.cc:657). Each KF pair is one batched device dispatch; created
+    points get observations in both views."""
+    from pslam_tpu.ops.triangulate import epipolar_triangulate
+
+    neighbors = m.best_covisible(kf, 10)
+    if len(neighbors) == 0:
+        return 0
+    C_kf = m.kf_camera_center(kf)
+    free1 = (m.kf_feat_mp[kf] < 0) & m.kf_feat_valid[kf]
+    created_ids = []
+    for nkf in neighbors:
+        nkf = int(nkf)
+        # Baseline gate (stereo/RGB-D branch, LocalMapping.cc:325-333).
+        if np.linalg.norm(m.kf_camera_center(nkf) - C_kf) < cfg.camera.baseline:
+            continue
+        if not free1.any():
+            break
+        free2 = (m.kf_feat_mp[nkf] < 0) & m.kf_feat_valid[nkf]
+        idx2, X_w, ok = epipolar_triangulate(
+            cfg.camera,
+            _kf_view(m, kf, free1),
+            _kf_view(m, nkf, free2),
+            cfg.orb.scale,
+            cfg.orb.levels,
+        )
+        ok = np.asarray(ok) & free1
+        sel1 = np.flatnonzero(ok)
+        if len(sel1) == 0:
+            continue
+        idx2 = np.asarray(idx2)
+        ids = m.create_points_from_depth(kf, sel1, np.asarray(X_w)[sel1])
+        m.add_point_obs(nkf, idx2[sel1], ids)
+        free1[sel1] = False
+        created_ids.append(ids)
+    if not created_ids:
+        return 0
+    ids = np.concatenate(created_ids)
+    m._update_covisibility(kf)
+    m.update_point_stats(ids)
+    return len(ids)
+
+
+@partial(jax.jit, static_argnames=("cam", "scale", "levels"))
+def _fuse_match_kernel(
+    cam: Camera, T_cw, pos, desc, level, min_dist, max_dist_arr, normal, valid,
+    f_uv, f_ur, f_level, f_desc, f_valid, scale: float, levels: int,
+):
+    """Project candidate points into a KF and match against its features
+    (ORBmatcher::Fuse, ORBmatcher.cc:825): radius 3*sigma(predicted level),
+    level window [pred-1, pred+1], Hamming <= TH_LOW, chi^2 reprojection."""
+    from pslam_tpu.ops.match import (
+        TH_LOW,
+        hamming_matrix,
+        level_window_mask,
+        mutual_nn_match,
+        window_mask,
+    )
+    from pslam_tpu.pipeline.track_ops import (
+        PointSet,
+        _project_points,
+        _scale_visibility,
+    )
+
+    pts = PointSet(
+        pos=pos, desc=desc, level=level, angle=jnp.zeros_like(min_dist),
+        min_dist=min_dist, max_dist=max_dist_arr, normal=normal, valid=valid,
+    )
+    uvr, z, visible = _project_points(cam, T_cw, pts)
+    band_ok, pred_level = _scale_visibility(cam, T_cw, pts, scale, levels)
+    visible = visible & band_ok
+    sfac = jnp.asarray([scale**l for l in range(levels)], jnp.float32)
+    r = 3.0 * sfac[jnp.clip(pred_level, 0, levels - 1)]
+    box = window_mask(uvr[:, :2], f_uv, r)
+    lvl_ok = level_window_mask(pred_level, f_level, -1, 1)
+    dist = hamming_matrix(desc, f_desc)
+    idx, d = mutual_nn_match(
+        dist, valid_a=visible, valid_b=f_valid, max_dist=TH_LOW, ratio=1.0,
+        extra_mask=box & lvl_ok,
+    )
+    # chi^2 reprojection gate (mono 5.99, stereo 7.8; ORBmatcher.cc:886-917).
+    fi = jnp.maximum(idx, 0)
+    s2 = sfac[jnp.clip(f_level[fi], 0, levels - 1)] ** 2
+    e_uv = jnp.sum((uvr[:, :2] - f_uv[fi]) ** 2, axis=-1)
+    e_r = (uvr[:, 2] - f_ur[fi]) ** 2
+    chi = jnp.where(f_ur[fi] >= 0, (e_uv + e_r) / s2, e_uv / s2)
+    chi_th = jnp.where(f_ur[fi] >= 0, 7.8, 5.99)
+    return jnp.where((idx >= 0) & (chi <= chi_th), idx, -1)
+
+
+def _fuse_into_kf(m: MapState, t: int, cand_ids: np.ndarray, cfg: SlamConfig):
+    """Fuse candidate map points into KF ``t``'s features: replace-or-add
+    (ORBmatcher::Fuse apply rule, ORBmatcher.cc:920-941)."""
+    cap = 1 << max(6, int(np.ceil(np.log2(max(len(cand_ids), 1)))))
+    pad = lambda a, shape, fill=0: np.concatenate(  # noqa: E731
+        [a, np.full((shape - len(a),) + a.shape[1:], fill, a.dtype)]
+    )
+    n = len(cand_ids)
+    idx = _fuse_match_kernel(
+        cfg.camera,
+        jnp.asarray(m.kf_pose[t]),
+        jnp.asarray(pad(m.mp_pos[cand_ids], cap)),
+        jnp.asarray(pad(m.mp_desc[cand_ids], cap)),
+        jnp.asarray(pad(m.mp_level[cand_ids], cap)),
+        jnp.asarray(pad(m.mp_min_dist[cand_ids], cap)),
+        jnp.asarray(pad(m.mp_max_dist[cand_ids], cap, 1e9)),
+        jnp.asarray(pad(m.mp_normal[cand_ids], cap)),
+        jnp.asarray(pad(m.mp_valid[cand_ids], cap)),
+        jnp.asarray(m.kf_uv[t]),
+        jnp.asarray(m.kf_ur[t]),
+        jnp.asarray(m.kf_level[t]),
+        jnp.asarray(m.kf_desc[t]),
+        jnp.asarray(m.kf_feat_valid[t]),
+        cfg.orb.scale,
+        cfg.orb.levels,
+    )
+    idx = np.asarray(idx)[:n]
+    n_fused = 0
+    for p_slot in np.flatnonzero(idx >= 0):
+        p_id = int(cand_ids[p_slot])
+        if not m.mp_valid[p_id]:
+            continue
+        f = int(idx[p_slot])
+        existing = int(m.kf_feat_mp[t, f])
+        if existing == p_id:
+            continue
+        if existing >= 0 and m.mp_valid[existing]:
+            # Keep the better-observed landmark (MapPoint::Replace rule).
+            if m.mp_n_obs[existing] > m.mp_n_obs[p_id]:
+                m.replace_map_point(p_id, existing)
+            else:
+                m.replace_map_point(existing, p_id)
+        else:
+            m.add_point_obs(t, [f], [p_id])
+        n_fused += 1
+    return n_fused
+
+
+def search_in_neighbors(m: MapState, kf: int, cfg: SlamConfig) -> int:
+    """Duplicate-landmark fusion with 1-hop + 2-hop covisible neighbours
+    (LocalMapping::SearchInNeighbors, LocalMapping.cc:761-891): fuse the new
+    KF's points into each target, then all target points into the new KF."""
+    targets: list[int] = []
+    for t in m.best_covisible(kf, 10):
+        t = int(t)
+        if t not in targets:
+            targets.append(t)
+        for t2 in m.best_covisible(t, 5):
+            t2 = int(t2)
+            if t2 != kf and t2 not in targets:
+                targets.append(t2)
+    if not targets:
+        return 0
+
+    mp_kf = m.kf_feat_mp[kf]
+    own = np.unique(mp_kf[mp_kf >= 0])
+    own = own[m.mp_valid[own]]
+    n_fused = 0
+    for t in targets:
+        if len(own):
+            n_fused += _fuse_into_kf(m, t, own, cfg)
+
+    # Reverse direction: candidates from all targets not yet seen by kf.
+    cand = m.kf_feat_mp[np.asarray(targets)].reshape(-1)
+    cand = np.unique(cand[cand >= 0])
+    cand = cand[m.mp_valid[cand]]
+    seen = set(int(i) for i in m.kf_feat_mp[kf] if i >= 0)
+    cand = np.asarray([c for c in cand if int(c) not in seen], np.int64)
+    if len(cand):
+        n_fused += _fuse_into_kf(m, kf, cand, cfg)
+
+    if n_fused:
+        m._update_covisibility(kf)
+        touched = np.unique(np.concatenate([own, cand])) if len(cand) else own
+        m.update_point_stats(touched)
+    return n_fused
+
+
+def cull_keyframes(m: MapState, kf: int, cfg: SlamConfig, protect=()) -> list:
+    """KeyFrameCulling (LocalMapping.cc:989-1055): a covisible KF whose close
+    map points are >= 90% redundantly observed (>= 3 other KFs at the same or
+    finer scale) is removed. Returns the list of KF slots to erase; the
+    caller must fix up trajectory references, erase from the BoW DB, and call
+    m.erase_keyframe."""
+    victims = []
+    n = m.n_kf
+    protect = set(protect) | {0, kf}
+    for k in m.covisible_kfs(kf):
+        k = int(k)
+        if k in protect:
+            continue
+        row = m.kf_feat_mp[k]
+        feat = np.flatnonzero(row >= 0)
+        if len(feat) == 0:
+            continue
+        depth_k = m.kf_feat_depth[k, feat]
+        feat = feat[(depth_k > 0) & (depth_k < cfg.th_depth)]
+        ids = row[feat]
+        alive = m.mp_valid[ids]
+        feat, ids = feat[alive], ids[alive]
+        if len(feat) == 0:
+            continue
+        lvl_req = np.zeros(m.mp_valid.shape[0], np.int32)
+        lvl_req[ids] = m.kf_level[k, feat] + 1
+        in_sel = np.zeros(m.mp_valid.shape[0], bool)
+        in_sel[ids] = True
+        obs = m.kf_feat_mp[:n]
+        hit = (obs >= 0) & in_sel[np.maximum(obs, 0)] & m.kf_valid[:n, None]
+        hit[k] = False
+        kk, ff = np.nonzero(hit)
+        oid = obs[kk, ff]
+        good = m.kf_level[kk, ff] <= lvl_req[oid]
+        cnt = np.zeros(m.mp_valid.shape[0], np.int32)
+        np.add.at(cnt, oid[good], 1)
+        if (cnt[ids] >= 3).sum() > 0.9 * len(feat):
+            victims.append(k)
+    return victims
 
 
 def cull_points(map_state: MapState, cfg: SlamConfig):

@@ -482,8 +482,13 @@ class LoopCloser:
             add_corrected_edge(a, b)
         for a, b in new_conn:
             add_corrected_edge(a, b)
-        for k in range(1, K):
-            add_edge(k - 1, k, poses_before[k - 1], poses_before[k])
+        # Spanning chain over valid KFs in TEMPORAL order (slot order is not
+        # insertion order once culled slots are recycled).
+        m = self.sys.map
+        alive = np.flatnonzero(m.kf_valid[:K])
+        alive = alive[np.argsort(m.kf_frame_id[alive], kind="stable")]
+        for a, b in zip(alive[:-1], alive[1:]):
+            add_edge(int(a), int(b), poses_before[a], poses_before[b])
         ii, jj = np.nonzero(np.triu(covis_before, 2) >= ESSENTIAL_MIN_WEIGHT)
         for a, b in zip(ii, jj):
             add_edge(int(a), int(b), poses_before[a], poses_before[b])
@@ -492,7 +497,7 @@ class LoopCloser:
         fixed = np.zeros(Kc, bool)
         fixed[loop_kf] = True
         vvalid = np.zeros(Kc, bool)
-        vvalid[:K] = True
+        vvalid[:K] = m.kf_valid[:K]
         prob = PoseGraphProblem(
             S=Sim3(s=jnp.asarray(s), R=jnp.asarray(R), t=jnp.asarray(t)),
             fixed=jnp.asarray(fixed),

@@ -281,6 +281,11 @@ class SlamSystem:
         )
         hf.T_cw = np.asarray(res2.T_cw)
 
+        # Local-map line search (SearchLocalLines, Tracking.cc:1754-1838):
+        # recover map-line associations lost by the f2f chain.
+        if self.cfg.use_lines and hf.line_valid is not None:
+            line_mapping.track_local_map_lines(self, hf, hf.T_cw)
+
         # --- 3. bookkeeping ----------------------------------------------
         m2 = np.asarray(res2.match_point)
         in2 = np.asarray(res2.inlier)
@@ -403,7 +408,7 @@ class SlamSystem:
         """NeedNewKeyFrame (Tracking.cc:1410-1515), RGB-D branch."""
         t = self.cfg.tracking
         frames_since_kf = hf.frame_id - int(
-            self.map.kf_frame_id[self.map.n_kf - 1]
+            self.map.kf_frame_id[self.map.last_kf]
         )
         ref_tracked = int((self.map.kf_feat_mp[self.ref_kf] >= 0).sum())
         # Close points tracked vs. close points availables (Tracking.cc:1452).
@@ -449,14 +454,69 @@ class SlamSystem:
             line_mapping.create_or_attach_lils(self.map, kf, hf, hf.T_cw)
             self.stats["culled"] += line_mapping.cull_lines(self.map, self.cfg)
 
-        # Backend: point culling + local BA (LocalMapping::Run order).
+        # Backend (LocalMapping::Run order, LocalMapping.cc:47-120): point
+        # culling, epipolar triangulation of new points, line triangulation,
+        # neighbour fuse, local BA, keyframe culling.
         self.stats["culled"] += local_mapping.cull_points(self.map, self.cfg)
+        self.stats["triangulated"] = self.stats.get(
+            "triangulated", 0
+        ) + local_mapping.create_new_map_points(self.map, kf, self.cfg)
+        if self.cfg.use_lines and hf.line_valid is not None:
+            self.stats["lines_triangulated"] = self.stats.get(
+                "lines_triangulated", 0
+            ) + line_mapping.create_new_map_lines(self.map, kf, self.cfg)
+        self.stats["fused"] = self.stats.get(
+            "fused", 0
+        ) + local_mapping.search_in_neighbors(self.map, kf, self.cfg)
+        self.map.update_point_stats(
+            np.unique(self.map.kf_feat_mp[kf][self.map.kf_feat_mp[kf] >= 0])
+        )
         self._run_local_ba(kf)
+        self._cull_keyframes(kf)
 
         # Loop closing on the freshly inserted KF (LoopClosing::Run would
         # poll its queue; here it runs synchronously after local BA).
         if self.loop_closer is not None:
             self.loop_closer.on_new_keyframe(kf)
+
+    def _cull_keyframes(self, kf: int):
+        """KeyFrameCulling + the bookkeeping the map can't do itself:
+        re-target trajectory rows that referenced the victim, drop it from
+        the BoW database (KeyFrame::SetBadFlag touches both)."""
+        victims = local_mapping.cull_keyframes(
+            self.map, kf, self.cfg, protect={self.ref_kf}
+        )
+        for k in victims:
+            self._retarget_trajectory(k)
+            if self.kf_db is not None:
+                self.kf_db.erase(k)
+            self.map.erase_keyframe(k)
+        self.stats["kf_culled"] = self.stats.get("kf_culled", 0) + len(victims)
+
+    def _retarget_trajectory(self, k: int):
+        """Re-reference trajectory rows pointing at KF ``k`` to its best
+        covisible neighbour before the slot is erased/recycled (the
+        reference chains mTcp to the parent on SetBadFlag,
+        KeyFrame.cc:533-608)."""
+        cov = self.map.best_covisible(k, 1)
+        parent = int(cov[0]) if len(cov) else int(self.map.last_kf)
+        if parent == k:
+            parent = -1
+        T_k = self.map.kf_pose[k]
+        if parent >= 0:
+            T_fix = (T_k @ np.linalg.inv(self.map.kf_pose[parent])).astype(
+                np.float32
+            )
+        self.trajectory = [
+            (ts, T_rel, ref)
+            if ref != k
+            else (
+                (ts, (T_rel @ T_fix).astype(np.float32), parent)
+                if parent >= 0
+                else (ts, (T_rel @ T_k).astype(np.float32), -1)
+            )
+            for ts, T_rel, ref in self.trajectory
+        ]
 
     def _run_local_ba(self, kf_idx: int):
         if self.map.n_kf < 3:
