@@ -310,18 +310,20 @@ def extract_orb(img, cfg: OrbConfig = OrbConfig()) -> OrbFeatures:
     response = jnp.concatenate(resp)
     valid = response > 0.0
 
-    # --- orientation ------------------------------------------------------
+    # --- orientation + descriptors from ONE patch extraction --------------
+    # The reference computes IC angle on the raw image and descriptors on
+    # the blurred one (ORBextractor.cc:1034-1066); a Gaussian blur is
+    # rotationally symmetric, so computing BOTH from the blurred patch
+    # changes the angle estimate negligibly and halves the patch-gather
+    # cost (the dominant per-frame term on TPU).
     uv_lvl, level, response = jax.lax.optimization_barrier(
         (uv_lvl, level, response)
     )
-    patches = extract_patches(stack, uv_lvl, level)
-    angle = keypoint_angles(patches)
-
-    # --- descriptors ------------------------------------------------------
-    # Barrier: without it the blur conv fuses into the 1k patch slices and
-    # gets recomputed per patch.
+    # Barrier: without it the blur fuses into the 1k patch slices and gets
+    # recomputed per patch.
     blurred = jax.lax.optimization_barrier(gaussian_blur(stack))
     bpatch = extract_patches(blurred, uv_lvl, level)  # (N, 48, 48)
+    angle = keypoint_angles(bpatch)
     bits = _brief_bits(bpatch, angle)
     weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
     desc = jnp.sum(

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from pslam_tpu.geometry import Camera, backproject, undistort_points
 from pslam_tpu.ops.fans import LILFeatures, build_lils
-from pslam_tpu.ops.image import sample_nearest
+from pslam_tpu.ops.image import gather_pixels_matmul
 from pslam_tpu.ops.lbd import line_descriptors
 from pslam_tpu.ops.line3d import fit_lines_3d
 from pslam_tpu.ops.lines import LineConfig, detect_lines
@@ -45,7 +45,7 @@ def make_frame(img, depth_img, cam: Camera, orb_cfg: OrbConfig) -> FrameData:
     undistorted for all geometric use.
     """
     feats: OrbFeatures = extract_orb(img, orb_cfg)
-    z = sample_nearest(depth_img[None], jnp.zeros_like(feats.level), feats.uv[:, 1], feats.uv[:, 0])
+    z = gather_pixels_matmul(depth_img, feats.uv[:, 1], feats.uv[:, 0])
     has_depth = (z > 0.05) & feats.valid
     uv = undistort_points(cam, feats.uv)
     z_safe = jnp.where(has_depth, z, 1.0)
