@@ -71,7 +71,7 @@ def save_checkpoint(system, path: str):
         arrs["lc.loop_edges"] = np.asarray(lc.loop_edges, np.int32).reshape(
             -1, 2
         )
-        arrs["lc.last_loop_kf"] = np.int64(lc.last_loop_kf)
+        arrs["lc.last_loop_seq"] = np.int64(lc.last_loop_seq)
 
     np.savez_compressed(path, **arrs)
 
@@ -147,6 +147,6 @@ def load_checkpoint(path: str, cfg=None):
         system.loop_closer.loop_edges = [
             (int(a), int(b)) for a, b in data["lc.loop_edges"]
         ]
-        system.loop_closer.last_loop_kf = int(data["lc.last_loop_kf"])
+        system.loop_closer.last_loop_seq = int(data["lc.last_loop_seq"])
 
     return system

@@ -44,6 +44,11 @@ class MapState:
         # use kf_frame_id for age. ``last_kf`` is the most recent insertion.
         self.n_kf = 0
         self.last_kf = -1
+        # Monotonic insertion sequence number per KF slot (the reference's
+        # KeyFrame::mnId). Slots are recycled after culling, so slot index is
+        # NOT temporal; any "age in keyframes" arithmetic must use kf_seq.
+        self.next_kf_seq = 0
+        self.kf_seq = np.full(K, -1, np.int64)
         self.kf_valid = np.zeros(K, bool)
         self.kf_pose = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))  # T_cw
         self.kf_frame_id = np.zeros(K, np.int64)
@@ -66,7 +71,8 @@ class MapState:
         self.mp_normal = np.zeros((P, 3), np.float32)
         self.mp_min_dist = np.zeros(P, np.float32)
         self.mp_max_dist = np.zeros(P, np.float32)
-        self.mp_first_kf = np.full(P, -1, np.int32)
+        self.mp_first_kf = np.full(P, -1, np.int32)  # creating KF *slot*
+        self.mp_first_seq = np.full(P, -1, np.int64)  # creating KF *sequence*
         self.mp_level = np.zeros(P, np.int32)  # octave of creating observation
         self.mp_angle = np.zeros(P, np.float32)  # angle of creating observation
         self.mp_n_obs = np.zeros(P, np.int32)
@@ -85,6 +91,7 @@ class MapState:
         self.ml_pos = np.zeros((ML, 6), np.float32)  # [sp_w, ep_w]
         self.ml_desc = np.zeros((ML, 40), np.float32)  # band descriptor
         self.ml_first_kf = np.full(ML, -1, np.int32)
+        self.ml_first_seq = np.full(ML, -1, np.int64)
         self.ml_n_obs = np.zeros(ML, np.int32)
         self.ml_visible = np.zeros(ML, np.int32)
         self.ml_found = np.zeros(ML, np.int32)
@@ -112,6 +119,7 @@ class MapState:
         self.il_state = np.zeros((Q, 15), np.float32)  # world frame
         self.il_plane = np.zeros((Q, 4), np.float32)  # (n, d), d >= 0
         self.il_first_kf = np.full(Q, -1, np.int32)
+        self.il_first_seq = np.full(Q, -1, np.int64)
         self.il_n_obs = np.zeros(Q, np.int32)  # KF observations
         self.il_frame_obs = np.zeros(Q, np.int32)  # AddFrameObservation count
         self._il_free_head = 0
@@ -160,6 +168,8 @@ class MapState:
                 raise RuntimeError("keyframe capacity exhausted")
             self.n_kf += 1
         self.last_kf = k
+        self.kf_seq[k] = self.next_kf_seq
+        self.next_kf_seq += 1
         self.kf_valid[k] = True
         self.kf_frame_id[k] = frame_id
         self.kf_timestamp[k] = timestamp
@@ -223,6 +233,7 @@ class MapState:
         self.mp_level[ids] = self.kf_level[kf_idx, feat_idx]
         self.mp_angle[ids] = self.kf_angle[kf_idx, feat_idx]
         self.mp_first_kf[ids] = kf_idx
+        self.mp_first_seq[ids] = self.kf_seq[kf_idx]
         self.mp_n_obs[ids] = 1
         self.mp_visible[ids] = 1
         self.mp_found[ids] = 1
@@ -268,6 +279,7 @@ class MapState:
         self.ml_pos[ids] = pos_w
         self.ml_desc[ids] = desc
         self.ml_first_kf[ids] = kf_idx
+        self.ml_first_seq[ids] = self.kf_seq[kf_idx]
         self.ml_n_obs[ids] = 1
         self.ml_visible[ids] = 1
         self.ml_found[ids] = 1
@@ -290,6 +302,7 @@ class MapState:
         self.il_state[ids] = state_w
         self.il_plane[ids] = plane_w
         self.il_first_kf[ids] = kf_idx
+        self.il_first_seq[ids] = self.kf_seq[kf_idx]
         self.il_n_obs[ids] = 1
         self.kf_lil_il[kf_idx, lil_slots] = ids
         self.kf_lil_obs[kf_idx, lil_slots] = obs8

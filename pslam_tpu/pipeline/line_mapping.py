@@ -351,10 +351,11 @@ def cull_lines(m: MapState, cfg: SlamConfig) -> int:
     """MapLineCulling analogue (LocalMapping.cc:237-273): bad found/visible
     ratio or too few observations shortly after creation."""
     ratio = m.ml_found / np.maximum(m.ml_visible, 1)
-    age = m.n_kf - 1 - m.ml_first_kf
+    # Monotonic age (see local_mapping.cull_points: slots are recycled).
+    age = m.next_kf_seq - 1 - m.ml_first_seq
     bad = m.ml_valid & (
         ((ratio < 0.25) & (m.ml_visible >= 4))
-        | ((age >= 2) & (m.ml_n_obs <= 1) & (m.ml_first_kf > 0))
+        | ((age >= 2) & (m.ml_n_obs <= 1) & (m.ml_first_seq > 0))
     )
     ids = np.flatnonzero(bad)
     if len(ids):

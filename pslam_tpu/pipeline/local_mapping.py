@@ -107,6 +107,12 @@ def assemble_local_ba(map_state: MapState, kf_idx: int, cfg: SlamConfig):
     E = caps.ba_edges
     n_e = min(len(e_cam), E)
     if len(e_cam) > E:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "local BA edge capacity: dropping %d of %d edges (caps.ba_edges=%d)",
+            len(e_cam) - E, len(e_cam), E,
+        )
         keep = np.random.default_rng(0).choice(len(e_cam), E, replace=False)
         e_cam, e_pt, e_obs, e_is2, e_feat = (
             e_cam[keep], e_pt[keep], e_obs[keep], e_is2[keep], e_feat[keep],
@@ -333,7 +339,13 @@ def search_in_neighbors(m: MapState, kf: int, cfg: SlamConfig) -> int:
     n_fused = 0
     for t in targets:
         if len(own):
-            n_fused += _fuse_into_kf(m, t, own, cfg)
+            # Skip points the target already observes (pMP->IsInKeyFrame(pKF)
+            # in ORBmatcher::Fuse): fusing one of those into a second feature
+            # slot would double-bind the (KF, point) pair.
+            row = m.kf_feat_mp[t]
+            own_t = own[~np.isin(own, row[row >= 0])]
+            if len(own_t):
+                n_fused += _fuse_into_kf(m, t, own_t, cfg)
 
     # Reverse direction: candidates from all targets not yet seen by kf.
     cand = m.kf_feat_mp[np.asarray(targets)].reshape(-1)
@@ -395,13 +407,15 @@ def cull_keyframes(m: MapState, kf: int, cfg: SlamConfig, protect=()) -> list:
 def cull_points(map_state: MapState, cfg: SlamConfig):
     """MapPointCulling (LocalMapping.cc:200-235): drop points with a bad
     found/visible ratio or too few observations shortly after creation."""
-    n_kf = map_state.n_kf
     mp = map_state.mp_valid
     ratio = map_state.mp_found / np.maximum(map_state.mp_visible, 1)
-    age = n_kf - 1 - map_state.mp_first_kf
+    # Age in keyframes since creation via the monotonic insertion sequence
+    # (the reference's mnCurrentKFid - mnFirstKFid; KF slots are recycled so
+    # slot arithmetic would mis-age points born in recycled low slots).
+    age = map_state.next_kf_seq - 1 - map_state.mp_first_seq
     bad = mp & (
         ((ratio < 0.25) & (map_state.mp_visible >= 4))
-        | ((age >= 2) & (map_state.mp_n_obs <= 1) & (map_state.mp_first_kf > 0))
+        | ((age >= 2) & (map_state.mp_n_obs <= 1) & (map_state.mp_first_seq > 0))
     )
     ids = np.flatnonzero(bad)
     if len(ids):

@@ -110,8 +110,11 @@ def _match_by_projection_sim3(
 class LoopCloser:
     def __init__(self, system):
         self.sys = system
+        # Consistency groups hold KF *sequence numbers* (KeyFrame::mnId), not
+        # slot indices: slots are recycled after culling, and a recycled slot
+        # would alias a stale group member onto an unrelated new KF.
         self.consistent_groups: list[tuple[set, int]] = []
-        self.last_loop_kf = -100
+        self.last_loop_seq = -100  # seq of the last accepted loop KF
         self.loop_edges: list[tuple[int, int]] = []  # (kf, loop_kf) accepted
         self.stats = {"detected": 0, "closed": 0, "gba_runs": 0}
 
@@ -120,7 +123,13 @@ class LoopCloser:
     def detect_loop(self, kf: int) -> list[int]:
         m = self.sys.map
         db = self.sys.kf_db
-        if db is None or kf < self.last_loop_kf + 10 or m.n_kf < 10:
+        # Gate on the monotonic insertion sequence (reference compares mnId,
+        # LoopClosing.cc:110), never the recyclable slot index.
+        if (
+            db is None
+            or m.kf_seq[kf] < self.last_loop_seq + 10
+            or int(m.kf_valid.sum()) < 10
+        ):
             return []
         covis = m.covisible_kfs(kf)
         if len(covis) == 0:
@@ -137,7 +146,9 @@ class LoopCloser:
         enough = []
         current_groups: list[tuple[set, int]] = []
         for c in cands:
-            group = {int(c)} | {int(j) for j in m.covisible_kfs(int(c))}
+            group = {int(m.kf_seq[c])} | {
+                int(m.kf_seq[j]) for j in m.covisible_kfs(int(c))
+            }
             best_consistency = 0
             for prev_group, n in self.consistent_groups:
                 if group & prev_group:
@@ -331,7 +342,9 @@ class LoopCloser:
                 if old == lmp or not m.mp_valid[lmp]:
                     continue
                 if old >= 0 and m.mp_valid[old]:
-                    self._replace_point(old, lmp)
+                    # MapPoint::Replace semantics including duplicate-
+                    # observation erasure when a KF already sees ``lmp``.
+                    m.replace_map_point(old, lmp)
                 else:
                     m.kf_feat_mp[k, f] = lmp
                     m.mp_n_obs[lmp] += 1
@@ -372,7 +385,7 @@ class LoopCloser:
             m.kf_pose[k] = T
         self._correct_landmarks_by_ref_kf(K, poses_mid, S_opt)
 
-        self.last_loop_kf = kf
+        self.last_loop_seq = int(m.kf_seq[kf])
         self.stats["closed"] += 1
 
         # Global BA (RunGlobalBundleAdjustment, LoopClosing.cc:645).
@@ -381,18 +394,6 @@ class LoopCloser:
 
             run_global_ba(m, cfg)
             self.stats["gba_runs"] += 1
-
-    def _replace_point(self, old: int, new: int):
-        """MapPoint::Replace — every observer of ``old`` switches to ``new``;
-        counters transfer; ``old`` dies (MapPoint.cc Replace)."""
-        m = self.sys.map
-        n = m.n_kf
-        mask = m.kf_feat_mp[:n] == old
-        m.kf_feat_mp[:n][mask] = new
-        m.mp_n_obs[new] += m.mp_n_obs[old]
-        m.mp_found[new] += m.mp_found[old]
-        m.mp_visible[new] += m.mp_visible[old]
-        m.mp_valid[old] = False
 
     def _warp_lines_lils(self, k: int, warp: Sim3):
         m = self.sys.map

@@ -235,12 +235,19 @@ class SlamSystem:
                 cfg_t.motion_match_radius_wide, orb.scale, orb.levels,
             )
         if int(res.n_inliers) < cfg_t.min_track_inliers:
+            # Reference-KF fallback: un-windowed descriptor matching
+            # (TrackReferenceKeyFrame / SearchByBoW, Tracking.cc:880) —
+            # recovers from motion far outside any projection window.
+            from pslam_tpu.pipeline.track_ops import (
+                track_against_points_unwindowed,
+            )
+
             ref_mp = self.map.kf_feat_mp[self.ref_kf]
             ref_sel = ref_mp[ref_mp >= 0]
             pts_ref = self._point_set(ref_sel, cap=len(prev_mp))
-            res = track_against_points(
+            res = track_against_points_unwindowed(
                 cam, jnp.asarray(self.last.T_cw), pts_ref, fd,
-                cfg_t.motion_match_radius_wide, orb.scale, orb.levels,
+                orb.scale, orb.levels,
             )
             prev_sel = np.arange(len(ref_sel))
             track_ids = np.full(len(prev_mp), -1, np.int32)
@@ -483,8 +490,15 @@ class SlamSystem:
         """KeyFrameCulling + the bookkeeping the map can't do itself:
         re-target trajectory rows that referenced the victim, drop it from
         the BoW database (KeyFrame::SetBadFlag touches both)."""
+        protect = {self.ref_kf}
+        if self.loop_closer is not None:
+            # KFs holding loop edges are never erased (the reference's
+            # mspLoopEdges check in KeyFrame::SetBadFlag).
+            for a, b in self.loop_closer.loop_edges:
+                protect.add(a)
+                protect.add(b)
         victims = local_mapping.cull_keyframes(
-            self.map, kf, self.cfg, protect={self.ref_kf}
+            self.map, kf, self.cfg, protect=protect
         )
         for k in victims:
             self._retarget_trajectory(k)
@@ -628,10 +642,12 @@ class SlamSystem:
         """TUM-format keyframe trajectory (SaveKeyFrameTrajectoryTUM,
         System.cc:384)."""
         m = self.map
+        # Slot order is not temporal once culled slots are recycled; emit
+        # rows in timestamp order for downstream evaluation tools.
+        ks = np.flatnonzero(m.kf_valid[: m.n_kf])
+        ks = ks[np.argsort(m.kf_timestamp[ks], kind="stable")]
         with open(path, "w") as f:
-            for k in range(m.n_kf):
-                if not m.kf_valid[k]:
-                    continue
+            for k in ks:
                 self._write_tum_row(f, float(m.kf_timestamp[k]), m.kf_pose[k])
 
     def save_trajectory_kitti(self, path: str):

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from pslam_tpu.geometry import Camera, in_image, project_stereo, se3_inverse, transform_points
 from pslam_tpu.ops.match import (
     TH_HIGH,
+    TH_LOW,
     hamming_matrix,
     level_window_mask,
     mutual_nn_match,
@@ -200,6 +201,37 @@ def track_against_points(
 
 def scale_sigma2_arr(scale: float, levels: int):
     return jnp.asarray([(scale**l) ** 2 for l in range(levels)], jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("cam", "orb_scale", "orb_levels"))
+def track_against_points_unwindowed(
+    cam: Camera,
+    T_prior,
+    pts: PointSet,
+    frame: FrameData,
+    orb_scale: float = 1.2,
+    orb_levels: int = 8,
+) -> TrackResult:
+    """Reference-KF fallback (TrackReferenceKeyFrame, Tracking.cc:880):
+    descriptor-only matching with NO projection window, so arbitrary
+    inter-frame motion is recoverable. The reference restricts the search to
+    shared BoW nodes (ORBmatcher::SearchByBoW, ORBmatcher.cc:159) purely to
+    make the CPU search tractable; on the MXU the full masked Hamming matrix
+    is cheaper than building the buckets, so the window is simply dropped.
+    Ratio 0.7 and rotation consistency match the reference's
+    ``ORBmatcher matcher(0.7, true)`` (Tracking.cc:889)."""
+    dist = hamming_matrix(pts.desc, frame.desc)
+    idx, _ = mutual_nn_match(
+        dist, valid_a=pts.valid, valid_b=frame.valid,
+        max_dist=TH_LOW, ratio=0.7,
+    )
+    f_angle = frame.angle[jnp.maximum(idx, 0)]
+    keep = rotation_consistency_mask(pts.angle, f_angle, idx >= 0)
+    match_idx = jnp.where(keep, idx, -1)
+    sigma2 = scale_sigma2_arr(orb_scale, orb_levels)
+    po = _pose_obs_from_matches(pts, frame, match_idx, sigma2)
+    T_opt, inlier, chi2, _ = pose_optimization(cam, T_prior, po)
+    return _result(T_opt, match_idx, po, inlier, pts.valid, None, None)
 
 
 @partial(jax.jit, static_argnames=("cam", "orb_scale", "orb_levels"))

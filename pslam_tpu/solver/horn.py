@@ -10,7 +10,10 @@ which is the jit-friendly formulation (SURVEY.md §7 hard part (a)).
 
 Also used for RGB-D relocalization: with per-feature depth the frame gives
 camera-space 3D points, so pose recovery is 3D-3D alignment with fixed
-scale = 1 (the reference instead uses EPnP; see solver/pnp.py for parity).
+scale = 1. The reference instead uses EPnP (src/PnPsolver.cc:67-1022), a
+2D-3D solver it needs because its matches carry no depth; here every ORB
+feature with valid depth has a camera-frame 3D point already, making the
+3-point Horn alignment both simpler and better conditioned.
 """
 
 from __future__ import annotations
