@@ -125,13 +125,119 @@ def arc_trajectory(n_frames: int, radius: float = 0.4, advance: float = 0.8):
     return np.stack(poses).astype(np.float32)
 
 
-def render_sequence(cam, n_frames: int = 30, seed: int = 0, room: BoxRoom | None = None):
+def loop_trajectory(
+    n_frames: int,
+    orbit: float = 0.6,
+    loops: float = 1.0,
+    center=(0.0, 0.0, 2.0),
+    wobble: float = 0.08,
+):
+    """Closed-circuit trajectory with revisits (the fr2_desk analogue for
+    loop-closure validation): the camera pans a full ``loops`` x 360 deg yaw
+    while translating on a small orbit, so the final frames re-observe the
+    first frames' scene. Returns (n, 4, 4) world->cam poses."""
+    poses = []
+    c = np.asarray(center, np.float64)
+    for i in range(n_frames):
+        a = loops * i / max(n_frames - 1, 1)
+        th = 2 * np.pi * a
+        yaw = th
+        C = c + np.array(
+            [
+                orbit * np.sin(th),
+                wobble * np.sin(3 * th),
+                orbit * (np.cos(th) - 1.0),
+            ]
+        )
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        # Camera looks along world +z rotated by yaw about y.
+        R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        R = R_wc.T
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = -R @ C
+        poses.append(T)
+    return np.stack(poses).astype(np.float32)
+
+
+class ClosedRoom(BoxRoom):
+    """Box room with ALL six faces textured so a panning loop trajectory
+    always sees structure (BoxRoom leaves the front/ceiling open)."""
+
+    def __post_init__(self):
+        self.textures = [
+            checker_texture(self.tex_size, 24 + 8 * i, self.seed + i)
+            for i in range(6)
+        ]
+
+    def render(self, K, T_cw, width: int, height: int):
+        fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+        us, vs = np.meshgrid(np.arange(width), np.arange(height))
+        rays_c = np.stack(
+            [(us - cx) / fx, (vs - cy) / fy, np.ones_like(us, np.float64)],
+            axis=-1,
+        )
+        R = T_cw[:3, :3]
+        t = T_cw[:3, 3]
+        C = -R.T @ t
+        dirs = rays_c @ R
+
+        best_t = np.full((height, width), np.inf)
+        gray = np.zeros((height, width), np.float32)
+        planes = [
+            (2, self.depth, (0, 1), self.textures[0]),  # back wall
+            (2, -self.depth + 2.0, (0, 1), self.textures[5]),  # front wall
+            (1, self.half_h, (0, 2), self.textures[1]),  # floor
+            (1, -self.half_h, (0, 2), self.textures[4]),  # ceiling
+            (0, -self.half_w, (2, 1), self.textures[2]),  # left wall
+            (0, self.half_w, (2, 1), self.textures[3]),  # right wall
+        ]
+        lim = {0: self.half_w, 1: self.half_h}
+        for axis, value, (ua, va), tex in planes:
+            d = dirs[..., axis]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t_hit = (value - C[axis]) / d
+            pt = C[None, None, :] + t_hit[..., None] * dirs
+            ok = (t_hit > 0.05) & np.isfinite(t_hit)
+            for ax2 in (0, 1, 2):
+                if ax2 == axis:
+                    continue
+                if ax2 == 2:
+                    ok &= (pt[..., 2] >= -self.depth + 2.0 - 1e-6) & (
+                        pt[..., 2] <= self.depth + 1e-6
+                    )
+                else:
+                    ok &= (pt[..., ax2] >= -lim[ax2] - 1e-6) & (
+                        pt[..., ax2] <= lim[ax2] + 1e-6
+                    )
+            closer = ok & (t_hit < best_t)
+            scale = self.tex_size / (
+                2 * max(self.half_w, self.half_h, self.depth)
+            )
+            tu = np.mod(pt[..., ua] * scale, self.tex_size).astype(np.int32)
+            tv = np.mod(pt[..., va] * scale, self.tex_size).astype(np.int32)
+            col = tex[tv % self.tex_size, tu % self.tex_size]
+            gray = np.where(closer, col, gray)
+            best_t = np.where(closer, t_hit, best_t)
+
+        depth = np.where(np.isfinite(best_t), best_t, 0.0)
+        return gray.astype(np.float32), depth.astype(np.float32)
+
+
+def render_sequence(
+    cam,
+    n_frames: int = 30,
+    seed: int = 0,
+    room: BoxRoom | None = None,
+    poses: np.ndarray | None = None,
+):
     """Render an RGB-D sequence. Returns (grays, depths, poses_w2c)."""
     room = room or BoxRoom(seed=seed)
     K = np.array(
         [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], dtype=np.float64
     )
-    poses = arc_trajectory(n_frames)
+    if poses is None:
+        poses = arc_trajectory(n_frames)
     grays, depths = [], []
     for T in poses:
         g, d = room.render(K, T.astype(np.float64), cam.width, cam.height)

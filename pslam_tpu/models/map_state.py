@@ -95,6 +95,11 @@ class MapState:
         self.ml_n_obs = np.zeros(ML, np.int32)
         self.ml_visible = np.zeros(ML, np.int32)
         self.ml_found = np.zeros(ML, np.int32)
+        # Mean viewing direction + distance-invariance band, refreshed per
+        # observation (MapLine::UpdateAverageDir, add_src/MapLine.cpp:320).
+        self.ml_normal = np.zeros((ML, 3), np.float32)
+        self.ml_min_dist = np.zeros(ML, np.float32)
+        self.ml_max_dist = np.full(ML, 1e9, np.float32)
         self._ml_free_head = 0
         # Per-KF line features + observations (map-line id per line slot).
         self.kf_line_sp = np.zeros((K, NL, 2), np.float32)
@@ -283,8 +288,105 @@ class MapState:
         self.ml_n_obs[ids] = 1
         self.ml_visible[ids] = 1
         self.ml_found[ids] = 1
+        # Initial viewing normal + distance band from the creating view
+        # (MapLine ctor -> UpdateAverageDir; single line octave, so the band
+        # is the midpoint distance itself, widened by the matcher's 0.8/1.2
+        # slack).
+        mid = 0.5 * (pos_w[:, :3] + pos_w[:, 3:])
+        d = mid - self.kf_camera_center(kf_idx)[None, :]
+        dist = np.linalg.norm(d, axis=-1)
+        self.ml_normal[ids] = (
+            d / np.maximum(dist[:, None], 1e-9)
+        ).astype(np.float32)
+        self.ml_min_dist[ids] = dist
+        self.ml_max_dist[ids] = dist
         self.kf_line_ml[kf_idx, line_slots] = ids
         return ids
+
+    def replace_map_line(self, old: int, new: int):
+        """MapLine::Replace (add_src/MapLine.cpp): every observer of ``old``
+        switches to ``new`` unless it already observes ``new`` (then the
+        duplicate observation is erased); counters transfer; ``old`` dies."""
+        if old == new or not self.ml_valid[old]:
+            return
+        n = self.n_kf
+        tab = self.kf_line_ml[:n]
+        sees_new = (tab == new).any(axis=1)
+        rows, cols = np.nonzero(tab == old)
+        dup = sees_new[rows]
+        tab[rows[dup], cols[dup]] = -1
+        tab[rows[~dup], cols[~dup]] = new
+        self.ml_n_obs[new] += int((~dup).sum())
+        self.ml_found[new] += self.ml_found[old]
+        self.ml_visible[new] += self.ml_visible[old]
+        self.ml_valid[old] = False
+
+    def update_line_stats(self, ids=None):
+        """Refresh each map line's distinctive descriptor, mean viewing
+        direction, and distance band from its current observations
+        (MapLine::ComputeDistinctiveDescriptors add_src/MapLine.cpp:241 +
+        UpdateAverageDir :320). The round-2 design froze ``ml_desc`` at
+        creation; long-lived lines drifted away from their descriptor."""
+        if ids is None:
+            ids = np.flatnonzero(self.ml_valid)
+        ids = np.asarray(ids, np.int64).reshape(-1)
+        ids = ids[self.ml_valid[ids]] if len(ids) else ids
+        n = self.n_kf
+        if len(ids) == 0 or n == 0:
+            return
+        tab = self.kf_line_ml[:n]
+        in_sel = np.zeros(self.ml_valid.shape[0], bool)
+        in_sel[ids] = True
+        hit = (tab >= 0) & in_sel[np.maximum(tab, 0)] & self.kf_valid[:n, None]
+        kk, ff = np.nonzero(hit)
+        if len(kk) == 0:
+            return
+        ml = tab[kk, ff]
+        order = np.argsort(ml, kind="stable")
+        kk, ff, ml = kk[order], ff[order], ml[order]
+        uniq, start, inv, cnt = np.unique(
+            ml, return_index=True, return_inverse=True, return_counts=True
+        )
+
+        # Distinctive descriptor: min-median pairwise squared-L2 over up to 8
+        # observation descriptors (float analogue of the Hamming min-median).
+        MAXO = 8
+        offs = np.arange(MAXO)
+        take = start[:, None] + np.minimum(offs[None, :], cnt[:, None] - 1)
+        kk_m, ff_m = kk[take], ff[take]
+        valid_o = offs[None, :] < cnt[:, None]
+        descs = self.kf_line_desc[kk_m, ff_m]  # (U, MAXO, 40)
+        diff = descs[:, :, None, :] - descs[:, None, :, :]
+        d2 = np.einsum("uabd,uabd->uab", diff, diff)
+        pair_ok = valid_o[:, None, :] & valid_o[:, :, None]
+        d2 = np.where(pair_ok, d2, np.inf)
+        srt = np.sort(d2, axis=2)
+        med_col = np.minimum(cnt, MAXO)[:, None] // 2
+        med = np.take_along_axis(
+            srt, med_col[:, :, None].repeat(MAXO, 1), 2
+        )[:, :, 0]
+        med = np.where(valid_o, med, np.inf)
+        best = np.argmin(med, axis=1)
+        self.ml_desc[uniq] = descs[np.arange(len(uniq)), best]
+
+        # Mean viewing direction (midpoint) + distance band.
+        C = self.camera_centers()
+        mid = 0.5 * (self.ml_pos[ml, :3] + self.ml_pos[ml, 3:])
+        d = mid - C[kk]
+        dist = np.linalg.norm(d, axis=1)
+        dn = d / np.maximum(dist[:, None], 1e-9)
+        nsum = np.zeros((len(uniq), 3), np.float64)
+        np.add.at(nsum, inv, dn)
+        nrm = np.linalg.norm(nsum, axis=1, keepdims=True)
+        self.ml_normal[uniq] = (nsum / np.maximum(nrm, 1e-9)).astype(
+            np.float32
+        )
+        dmin = np.full(len(uniq), np.inf)
+        dmax = np.zeros(len(uniq))
+        np.minimum.at(dmin, inv, dist)
+        np.maximum.at(dmax, inv, dist)
+        self.ml_min_dist[uniq] = dmin
+        self.ml_max_dist[uniq] = dmax
 
     def cull_map_lines(self, ids):
         ids = np.asarray(ids, np.int32)

@@ -33,6 +33,53 @@ def _shift2d(img, dy: int, dx: int):
     return jnp.roll(img, shift=(-dy, -dx), axis=(-2, -1))
 
 
+def _has_arc9(mask16):
+    """(16, ...) bool ring mask -> True where a contiguous arc of >= 9
+    circle pixels is set. Packs the ring into an int32 bitmask and uses
+    log-step shift-ANDs (runs>=2 -> >=4 -> >=8 -> >=9): ~10 int ops instead
+    of the naive 16 rotations x 8 ANDs."""
+    w = jnp.asarray(
+        np.asarray([1 << s for s in range(16)], np.int32), jnp.int32
+    ).reshape((16,) + (1,) * (mask16.ndim - 1))
+    m = jnp.sum(mask16.astype(jnp.int32) * w, axis=0)
+    mm = m | (m << 16)  # unwrap the cycle
+    r = mm & (mm >> 1)
+    r = r & (r >> 2)
+    r = r & (r >> 4)  # runs >= 8
+    r = r & (mm >> 8)  # runs >= 9
+    return (r & 0xFFFF) != 0
+
+
+@partial(jax.jit, static_argnames=("th_hi", "th_lo"))
+def fast_score_dual(stack, th_hi: int, th_lo: int):
+    """One-pass FAST at BOTH thresholds (sharing the 16 shifted reads —
+    the memory-bound part) + the low-threshold ranking score.
+
+    Returns (corner_hi, corner_lo, score_lo). Replaces two fast_score calls
+    in the extractor (the high-threshold score was never used: the
+    grid-fallback ranking uses the low-threshold score everywhere,
+    mirroring cv::FAST's scoring at the detection threshold).
+    """
+    center = stack
+    neigh = jnp.stack(
+        [_shift2d(stack, int(dy), int(dx)) for (dx, dy) in CIRCLE], axis=0
+    )  # (16, ..., H, W)
+    diff = neigh - center[None]
+
+    t_lo = jnp.asarray(th_lo, stack.dtype)
+    brighter_lo = diff > t_lo
+    darker_lo = diff < -t_lo
+    t_hi = jnp.asarray(th_hi, stack.dtype)
+    corner_hi = _has_arc9(diff > t_hi) | _has_arc9(diff < -t_hi)
+    corner_lo = _has_arc9(brighter_lo) | _has_arc9(darker_lo)
+
+    excess = jnp.abs(diff) - t_lo
+    score_b = jnp.sum(jnp.where(brighter_lo, excess, 0.0), axis=0)
+    score_d = jnp.sum(jnp.where(darker_lo, excess, 0.0), axis=0)
+    score_lo = jnp.maximum(score_b, score_d)
+    return corner_hi, corner_lo, score_lo
+
+
 @partial(jax.jit, static_argnames=("threshold",))
 def fast_score(stack, threshold: int):
     """Segment test + score for each pixel.

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pslam_tpu.ops.fast import fast_score, nms3x3
+from pslam_tpu.ops.fast import fast_score_dual, nms3x3
 from pslam_tpu.ops.image import build_pyramid, gaussian_blur
 
 HALF_PATCH = 15  # reference HALF_PATCH_SIZE (ORBextractor.cc:73)
@@ -91,26 +91,44 @@ def _moment_kernels():
     return jnp.asarray(kx), jnp.asarray(ky)
 
 
-PATCH = 48  # descriptor/moment patch side; covers rotated pattern + margin
+PATCH = 32  # descriptor/moment patch side: the BRIEF pattern is clipped to
+# a disk of radius 13 (so every rotation stays within +-14 px of center) and
+# the IC-angle moment mask has radius 15 -> offsets [-15, +15] fit the
+# [c-16, c+15] span of a 32-pixel patch with c = 16. Was 48; the patch
+# extraction + selection matmul are the dominant frontend cost and scale
+# with PATCH^2.
 
 
 def extract_patches(stack, uv_lvl, level, size: int = PATCH):
-    """(N, size, size) patches around keypoints via vmapped dynamic_slice.
+    """(N, size, size) patches around keypoints.
 
-    On this TPU, arbitrary element gathers are pathologically slow (the flat
-    550k-sample descriptor gather measured ~60ms/frame and minutes of
-    compile), while row-contiguous dynamic slices are ~0.02ms total. All
-    per-keypoint sampling therefore goes through patches.
+    Row gather + one-hot column-select matmul: rows are gathered along the
+    sublane axis with lanes contiguous (the one gather shape the TPU
+    scatter/gather engine handles at bandwidth), then the per-keypoint
+    column window is cut with an exact (HIGHEST-precision) one-hot
+    contraction on the MXU. vmapped (32, 32) dynamic slices measured
+    ~4.5 ms/frame for 1000 keypoints; this path is ~0.1 ms. (Arbitrary
+    element gathers are worse still: the flat 550k-sample descriptor gather
+    measured ~60 ms/frame.) A Pallas per-keypoint DMA kernel is not an
+    option: Mosaic requires dynamic memref slices to be tile-aligned
+    (8 sublanes x 128 lanes), and keypoint offsets are arbitrary.
     """
-    h, w = stack.shape[-2:]
+    L, h, w = stack.shape
     half = size // 2
-
-    def one(u, l):
-        y0 = jnp.clip(u[1].astype(jnp.int32) - half, 0, h - size)
-        x0 = jnp.clip(u[0].astype(jnp.int32) - half, 0, w - size)
-        return jax.lax.dynamic_slice(stack[l], (y0, x0), (size, size))
-
-    return jax.vmap(one)(uv_lvl, level)
+    y0 = jnp.clip(uv_lvl[:, 1].astype(jnp.int32) - half, 0, h - size)
+    x0 = jnp.clip(uv_lvl[:, 0].astype(jnp.int32) - half, 0, w - size)
+    flat = stack.reshape(L * h, w)
+    row_idx = (level * h + y0)[:, None] + jnp.arange(size)[None, :]
+    rows = flat[row_idx]  # (N, size, w)
+    col = x0[:, None, None] + jnp.arange(size)[None, None, :]
+    onehot = (jnp.arange(w)[None, :, None] == col).astype(stack.dtype)
+    return jnp.einsum(
+        "nrw,nwj->nrj",
+        rows,
+        onehot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def keypoint_angles(patches):
@@ -147,8 +165,15 @@ def _brief_pattern(n_bits: int = 256, seed: int = 1234):
     rng = np.random.default_rng(seed)
     sigma = (2 * HALF_PATCH + 1) / 5.0
     pts = rng.normal(0.0, sigma, size=(n_bits, 4))
-    pts = np.clip(np.round(pts), -(HALF_PATCH - 2), HALF_PATCH - 2)
-    return pts.astype(np.int32)  # host-side constant (numpy, NOT device)
+    # Clip each test point to a DISK of radius HALF_PATCH-2 (not a square):
+    # a disk is rotation-invariant, so every rotated sample stays within
+    # +-(HALF_PATCH-1) of center and the 32-pixel patch suffices.
+    r_max = float(HALF_PATCH - 2)
+    for cols in ((0, 1), (2, 3)):
+        xy = pts[:, cols]
+        r = np.linalg.norm(xy, axis=1, keepdims=True)
+        pts[:, cols] = np.where(r > r_max, xy * (r_max / r), xy)
+    return np.round(pts).astype(np.int32)  # host-side constant (numpy)
 
 
 _PATTERN = _brief_pattern()
@@ -245,21 +270,21 @@ def _per_level_mask(shape, levels, scale, h, w):
     return jnp.asarray(np.stack(masks))
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def extract_orb(img, cfg: OrbConfig = OrbConfig()) -> OrbFeatures:
-    """img: (H, W) float32 grayscale in [0, 255] -> OrbFeatures."""
-    h, w = img.shape
+@partial(jax.jit, static_argnames=("cfg", "h", "w"))
+def detect_keypoints(stack, cfg: OrbConfig, h: int, w: int):
+    """FAST + per-cell fallback + spread top-k selection on a level stack.
+
+    Returns (uv_lvl (N, 2) canvas coords, level (N,), response (N,)).
+    Mirrors ComputeKeyPointsOctTree + DistributeOctTree semantics
+    (ORBextractor.cc:765-853, 539-763) as masked reductions.
+    """
     L = cfg.levels
-    stack, level_scale, _ = build_pyramid(img, L, cfg.scale)
-    # Materialize the pyramid: without the barrier XLA fuses the whole
-    # resize chain into every downstream gather (descriptor sampling went
-    # 0.3ms -> 530ms when fused on TPU).
-    stack = jax.lax.optimization_barrier(stack)
     det_mask = _per_level_mask((h, w), L, cfg.scale, h, w)
 
-    # --- FAST at both thresholds, with per-cell fallback ------------------
-    hi_corner, score = fast_score(stack, cfg.th_fast_hi)
-    lo_corner, score_lo = fast_score(stack, cfg.th_fast_lo)
+    # --- FAST at both thresholds (one pass), with per-cell fallback -------
+    hi_corner, lo_corner, score_lo = fast_score_dual(
+        stack, cfg.th_fast_hi, cfg.th_fast_lo
+    )
     keep_nms = nms3x3(jnp.where(lo_corner & det_mask, score_lo, 0.0))
 
     cs = cfg.cell
@@ -267,26 +292,24 @@ def extract_orb(img, cfg: OrbConfig = OrbConfig()) -> OrbFeatures:
     hc, wc = ncy * cs, ncx * cs  # crop ragged edge of the cell grid
 
     def to_cells(x):
-        return x[:, :hc, :wc].reshape(L, ncy, cs, ncx, cs)
+        """(L, H, W) -> (L, ncy, ncx, cs*cs)."""
+        return (
+            x[:, :hc, :wc]
+            .reshape(L, ncy, cs, ncx, cs)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(L, ncy, ncx, cs * cs)
+        )
 
-    hi_in_cell = jnp.any(
-        to_cells(hi_corner & det_mask), axis=(2, 4)
-    )  # (L, ncy, ncx)
-    hi_b = jnp.repeat(jnp.repeat(hi_in_cell, cs, axis=1), cs, axis=2)
-    hi_full = jnp.zeros_like(hi_corner).at[:, :hc, :wc].set(hi_b)
-
-    eff = (
-        det_mask
-        & keep_nms
-        & lo_corner
-        & (hi_corner | ~hi_full)  # low threshold only where cell has no hi
-    )
-    eff_score = jnp.where(eff, score_lo, 0.0)
+    # Threshold fallback entirely in cell space (no full-canvas expands):
+    # where a cell has any high-threshold corner, only those count;
+    # otherwise the low-threshold corners do (ORBextractor.cc:800-816).
+    cand = to_cells(keep_nms & lo_corner & det_mask)
+    hi_c = to_cells(hi_corner & det_mask) & cand
+    has_hi = hi_c.any(axis=-1, keepdims=True)
+    allowed = jnp.where(has_hi, hi_c, cand)
+    cell_scores = jnp.where(allowed, to_cells(score_lo), 0.0)
 
     # --- spatial spread: top-k per cell, then top-quota per level ---------
-    cell_scores = to_cells(eff_score).transpose(0, 1, 3, 2, 4).reshape(
-        L, ncy, ncx, cs * cs
-    )
     k = cfg.k_per_cell
     top_v, top_i = jax.lax.top_k(cell_scores, k)  # (L, ncy, ncx, k)
     iy = top_i // cs
@@ -308,6 +331,20 @@ def extract_orb(img, cfg: OrbConfig = OrbConfig()) -> OrbFeatures:
     uv_lvl = jnp.concatenate(uv_lvl).astype(jnp.float32)  # (N, 2) canvas coords
     level = jnp.concatenate(level_arr)
     response = jnp.concatenate(resp)
+    return uv_lvl, level, response
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract_orb(img, cfg: OrbConfig = OrbConfig()) -> OrbFeatures:
+    """img: (H, W) float32 grayscale in [0, 255] -> OrbFeatures."""
+    h, w = img.shape
+    L = cfg.levels
+    stack, level_scale, _ = build_pyramid(img, L, cfg.scale)
+    # Materialize the pyramid: without the barrier XLA fuses the whole
+    # resize chain into every downstream gather (descriptor sampling went
+    # 0.3ms -> 530ms when fused on TPU).
+    stack = jax.lax.optimization_barrier(stack)
+    uv_lvl, level, response = detect_keypoints(stack, cfg, h, w)
     valid = response > 0.0
 
     # --- orientation + descriptors from ONE patch extraction --------------

@@ -109,16 +109,34 @@ def assemble_global_ba(m: MapState, cfg: SlamConfig):
 
 
 def run_global_ba(m: MapState, cfg: SlamConfig, schedule=(10, 10)):
-    """Assemble + solve + write back. Returns True if a solve ran."""
+    """Assemble + solve + write back. Returns True if a solve ran.
+
+    With cfg.distributed and a multi-device mesh the solve is the
+    edge-sharded variant (parallel/sharded_ba.py) — the reference's global
+    BA is single-threaded g2o (Optimizer.cc:41-237); here its edge set is
+    the sharding axis and the reduced camera system is psum-assembled."""
+    import jax
+
     from pslam_tpu.pipeline.local_mapping import write_back_ba
 
     out = assemble_global_ba(m, cfg)
     if out is None:
         return False
     prob, cam_ids, pt_ids, e_feat, n_e = out
-    result = local_bundle_adjustment(
-        cfg.camera, prob, cfg.caps.gba_free, schedule=schedule
-    )
+    if cfg.distributed and len(jax.devices()) > 1:
+        from pslam_tpu.parallel.sharded_ba import (
+            make_ba_mesh,
+            sharded_local_bundle_adjustment,
+        )
+
+        result = sharded_local_bundle_adjustment(
+            cfg.camera, prob, cfg.caps.gba_free, make_ba_mesh(),
+            schedule=schedule,
+        )
+    else:
+        result = local_bundle_adjustment(
+            cfg.camera, prob, cfg.caps.gba_free, schedule=schedule
+        )
     write_back_ba(
         m, result, cam_ids, pt_ids, e_feat, n_e, np.asarray(prob.free_slot)
     )

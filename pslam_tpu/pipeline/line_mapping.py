@@ -233,7 +233,19 @@ def match_map_lines_to_view(
         (sp2[:, 0] > -50) & (sp2[:, 0] < W + 50)
         & (sp2[:, 1] > -50) & (sp2[:, 1] < H + 50)
     )
-    vmask = okz & in_img & m.ml_valid[ml_ids]
+    # Distance band + viewing angle (SearchByProjection's isInFrustum-style
+    # gates, LSDmatcher.cpp:139-160), from the per-observation stats.
+    C = -(T_cw[:3, :3].T @ T_cw[:3, 3])
+    mid = 0.5 * (m.ml_pos[ml_ids, :3] + m.ml_pos[ml_ids, 3:])
+    om = mid - C[None, :]
+    dist = np.linalg.norm(om, axis=1)
+    band = (dist >= 0.8 * m.ml_min_dist[ml_ids]) & (
+        dist <= 1.2 * m.ml_max_dist[ml_ids]
+    )
+    viewcos = np.einsum("ij,ij->i", om, m.ml_normal[ml_ids]) / np.maximum(
+        dist, 1e-9
+    )
+    vmask = okz & in_img & band & (viewcos > 0.5) & m.ml_valid[ml_ids]
     idx, _ = match_lines_projection(
         jnp.asarray(pad(sp2)), jnp.asarray(pad(ep2)),
         None, jnp.asarray(pad(m.ml_desc[ml_ids])), jnp.asarray(pad(vmask)),
@@ -277,74 +289,257 @@ def track_local_map_lines(system, hf, T_cw: np.ndarray) -> int:
     return len(sel)
 
 
+def _desc_dist2_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(Na, Nb) squared-L2 distances between float band descriptors."""
+    d = a[:, None, :] - b[None, :, :]
+    return np.einsum("abd,abd->ab", d, d)
+
+
+def _mutual_nn_np(dist, valid_a, valid_b, max_dist, ratio=0.85):
+    """Host mutual-NN with ratio test on a float distance matrix.
+    Returns (Na,) index into b or -1."""
+    BIG = 1e18
+    d = np.where(valid_a[:, None] & valid_b[None, :], dist, BIG)
+    best_j = np.argmin(d, axis=1)
+    best = d[np.arange(d.shape[0]), best_j]
+    d2 = d.copy()
+    d2[np.arange(d.shape[0]), best_j] = BIG
+    second = d2.min(axis=1)
+    col_best = np.argmin(d, axis=0)
+    mutual = col_best[best_j] == np.arange(d.shape[0])
+    ok = (best <= max_dist) & (best < ratio * second) & mutual
+    return np.where(ok, best_j, -1)
+
+
+def _project_ep_np(cam, T_cw, X_w):
+    """(N, 3) world points -> (u, v, z) in the view (host numpy)."""
+    Xc = X_w @ T_cw[:3, :3].T + T_cw[:3, 3]
+    z = Xc[:, 2]
+    zs = np.maximum(z, 1e-9)
+    u = cam.fx * Xc[:, 0] / zs + cam.cx
+    v = cam.fy * Xc[:, 1] / zs + cam.cy
+    return u, v, z
+
+
+def _endpoint_chi2_ok(cam, T_cw, sp_w, ep_w, obs_sp, obs_ep, chi2=5.991):
+    """The reference's 4-endpoint reprojection gate in ONE view
+    (LocalMapping.cc:662-710): both projected 3D endpoints must fall within
+    chi2*sigma^2 of the observed 2D endpoints (sigma = 1, single line
+    octave). Endpoint order may be swapped between detections, so the
+    swapped pairing is accepted too (the reference's detector guarantees
+    ordering; ours does not)."""
+    us, vs, zs = _project_ep_np(cam, T_cw, sp_w)
+    ue, ve, ze = _project_ep_np(cam, T_cw, ep_w)
+    front = (zs > 0) & (ze > 0)
+    e_ss = (us - obs_sp[:, 0]) ** 2 + (vs - obs_sp[:, 1]) ** 2
+    e_ee = (ue - obs_ep[:, 0]) ** 2 + (ve - obs_ep[:, 1]) ** 2
+    e_se = (us - obs_ep[:, 0]) ** 2 + (vs - obs_ep[:, 1]) ** 2
+    e_es = (ue - obs_sp[:, 0]) ** 2 + (ve - obs_sp[:, 1]) ** 2
+    direct = (e_ss <= chi2) & (e_ee <= chi2)
+    swapped = (e_se <= chi2) & (e_es <= chi2)
+    return front & (direct | swapped)
+
+
 def create_new_map_lines(m: MapState, kf: int, cfg: SlamConfig) -> int:
-    """CreateNewMapLines2, RGB-D path (LocalMapping.cc:522-759): for each
-    covisible neighbour, project the new KF's depth-fitted 3D lines into the
-    neighbour and require a matching 2D line there (two-view verification,
-    LocalMapping.cc:662-710). Verified unassociated lines become map lines
-    with observations in both KFs; matches onto the neighbour's already-
-    mapped lines attach instead (LSDmatcher::Fuse, LSDmatcher.cpp:847)."""
+    """CreateNewMapLines2, RGB-D path (LocalMapping.cc:522-759): per
+    covisible neighbour, brute-force mutual-NN descriptor matching of
+    UNBOUND 2D lines (LSDmatcher::SearchForTriangulation,
+    add_src/LSDmatcher.cpp:705-743), 3D endpoints from the depth fit of
+    EITHER view (LocalMapping.cc:619-639), then the 4-endpoint reprojection
+    chi^2 <= 5.991 sigma^2 gate in BOTH views (:662-710). Survivors become
+    map lines observed by both KFs."""
     neighbors = m.best_covisible(kf, 10)
     if len(neighbors) == 0:
         return 0
-    T_wc = np.linalg.inv(m.kf_pose[kf])
-    created = 0
+    cam = cfg.camera
+    T1 = m.kf_pose[kf]
+    T1_wc = np.linalg.inv(T1)
+    C1 = m.kf_camera_center(kf)
+    created_ids = []
     for nkf in neighbors:
         nkf = int(nkf)
-        free = np.flatnonzero(
-            m.kf_line_valid[kf] & m.kf_line_ok3d[kf] & (m.kf_line_ml[kf] < 0)
-        )
-        if len(free) == 0:
-            break
-        sp_w = m.kf_line_p3s[kf, free] @ T_wc[:3, :3].T + T_wc[:3, 3]
-        ep_w = m.kf_line_p3e[kf, free] @ T_wc[:3, :3].T + T_wc[:3, 3]
-        pos_w = np.concatenate([sp_w, ep_w], axis=-1).astype(np.float32)
-
-        # Project candidate world lines into the neighbour + match.
-        cap = 1 << max(6, int(np.ceil(np.log2(max(len(free), 1)))))
-
-        def pad(a, fill=0):
-            out = np.full((cap,) + a.shape[1:], fill, a.dtype)
-            out[: len(a)] = a
-            return out
-
-        import jax.numpy as jnp
-
-        from pslam_tpu.ops.line_match import match_lines_projection
-
-        sp2, ep2, okz = _project_lines_to_view(
-            cfg.camera, m.kf_pose[nkf], pos_w
-        )
-        idx, _ = match_lines_projection(
-            jnp.asarray(pad(sp2)), jnp.asarray(pad(ep2)), None,
-            jnp.asarray(pad(m.kf_line_desc[kf, free])),
-            jnp.asarray(pad(okz)),
-            jnp.asarray(m.kf_line_sp[nkf]), jnp.asarray(m.kf_line_ep[nkf]),
-            jnp.asarray(m.kf_line_desc[nkf]), jnp.asarray(m.kf_line_valid[nkf]),
-            8.0,
-        )
-        idx = np.asarray(idx)[: len(free)]
-        hit = np.flatnonzero(idx >= 0)
-        if len(hit) == 0:
+        # Baseline gate (stereo/RGB-D branch, LocalMapping.cc:560-567).
+        if np.linalg.norm(m.kf_camera_center(nkf) - C1) < cam.baseline:
             continue
-        f1, f2 = free[hit], idx[hit]
-        exist = m.kf_line_ml[nkf, f2]
-        # Attach to the neighbour's existing map line where it has one.
-        att = exist >= 0
-        if att.any():
-            m.kf_line_ml[kf, f1[att]] = exist[att]
-            np.add.at(m.ml_n_obs, exist[att], 1)
-            np.add.at(m.ml_found, exist[att], 1)
-        # Otherwise mint a new map line observed by both.
-        new = ~att
-        if new.any():
-            ids = m.create_map_lines(
-                kf, f1[new], pos_w[hit[new]], m.kf_line_desc[kf, f1[new]]
+        free1 = m.kf_line_valid[kf] & (m.kf_line_ml[kf] < 0)
+        free2 = m.kf_line_valid[nkf] & (m.kf_line_ml[nkf] < 0)
+        if not free1.any() or not free2.any():
+            continue
+        dist = _desc_dist2_np(m.kf_line_desc[kf], m.kf_line_desc[nkf])
+        idx2 = _mutual_nn_np(dist, free1, free2, max_dist=0.8)
+        i1 = np.flatnonzero(idx2 >= 0)
+        if len(i1) == 0:
+            continue
+        i2 = idx2[i1]
+
+        # 3D from the depth fit of either view (world frame).
+        T2 = m.kf_pose[nkf]
+        T2_wc = np.linalg.inv(T2)
+        ok1 = m.kf_line_ok3d[kf, i1]
+        ok2 = m.kf_line_ok3d[nkf, i2]
+        sp_w = np.where(
+            ok1[:, None],
+            m.kf_line_p3s[kf, i1] @ T1_wc[:3, :3].T + T1_wc[:3, 3],
+            m.kf_line_p3s[nkf, i2] @ T2_wc[:3, :3].T + T2_wc[:3, 3],
+        )
+        ep_w = np.where(
+            ok1[:, None],
+            m.kf_line_p3e[kf, i1] @ T1_wc[:3, :3].T + T1_wc[:3, 3],
+            m.kf_line_p3e[nkf, i2] @ T2_wc[:3, :3].T + T2_wc[:3, 3],
+        )
+        has3d = ok1 | ok2  # "no stereo and very low parallax" -> skip
+
+        good = (
+            has3d
+            & _endpoint_chi2_ok(
+                cam, T1, sp_w, ep_w,
+                m.kf_line_sp[kf, i1], m.kf_line_ep[kf, i1],
             )
-            m.kf_line_ml[nkf, f2[new]] = ids
-            np.add.at(m.ml_n_obs, ids, 1)
-            created += len(ids)
-    return created
+            & _endpoint_chi2_ok(
+                cam, T2, sp_w, ep_w,
+                m.kf_line_sp[nkf, i2], m.kf_line_ep[nkf, i2],
+            )
+        )
+        sel = np.flatnonzero(good)
+        if len(sel) == 0:
+            continue
+        f1, f2 = i1[sel], i2[sel]
+        pos_w = np.concatenate([sp_w[sel], ep_w[sel]], axis=1).astype(
+            np.float32
+        )
+        ids = m.create_map_lines(kf, f1, pos_w, m.kf_line_desc[kf, f1])
+        m.kf_line_ml[nkf, f2] = ids
+        np.add.at(m.ml_n_obs, ids, 1)
+        created_ids.append(ids)
+    if not created_ids:
+        return 0
+    ids = np.concatenate(created_ids)
+    m.update_line_stats(ids)
+    return len(ids)
+
+
+def _fuse_lines_into_kf(m: MapState, t: int, cand: np.ndarray, cfg: SlamConfig):
+    """LSDmatcher::Fuse (add_src/LSDmatcher.cpp:847): project candidate map
+    lines into KF ``t``, gate by endpoint-in-image, distance band, viewing
+    angle; best descriptor match <= TH; replace-or-add."""
+    cam = cfg.camera
+    T = m.kf_pose[t]
+    C = m.kf_camera_center(t)
+    pos = m.ml_pos[cand]
+    us, vs, zs = _project_ep_np(cam, T, pos[:, :3])
+    ue, ve, ze = _project_ep_np(cam, T, pos[:, 3:])
+    in_img = (
+        (zs > 0) & (ze > 0)
+        & (us >= 0) & (us < cam.width) & (vs >= 0) & (vs < cam.height)
+        & (ue >= 0) & (ue < cam.width) & (ve >= 0) & (ve < cam.height)
+    )
+    mid = 0.5 * (pos[:, :3] + pos[:, 3:])
+    om = mid - C[None, :]
+    dist = np.linalg.norm(om, axis=1)
+    band = (dist >= 0.8 * m.ml_min_dist[cand]) & (
+        dist <= 1.2 * m.ml_max_dist[cand]
+    )
+    viewcos = np.einsum("ij,ij->i", om, m.ml_normal[cand]) / np.maximum(
+        dist, 1e-9
+    )
+    vis = in_img & band & (viewcos > 0.5) & m.ml_valid[cand]
+    if not vis.any():
+        return 0
+
+    # Segment-proximity + direction + descriptor matching against the KF's
+    # line features (GetLinesInArea + descriptor loop of Fuse).
+    f_valid = m.kf_line_valid[t]
+    f_sp, f_ep = m.kf_line_sp[t], m.kf_line_ep[t]
+    proj_sp = np.stack([us, vs], axis=1)
+    proj_ep = np.stack([ue, ve], axis=1)
+
+    def seg_dist(p):
+        d = f_ep - f_sp  # (NF, 2)
+        len2 = np.maximum(np.einsum("fj,fj->f", d, d), 1e-12)
+        tpar = np.clip(
+            np.einsum("mfj,fj->mf", p[:, None, :] - f_sp[None, :, :], d)
+            / len2[None, :],
+            0.0, 1.0,
+        )
+        proj = f_sp[None] + tpar[:, :, None] * d[None]
+        return np.linalg.norm(p[:, None, :] - proj, axis=-1)
+
+    radius = 8.0
+    near = (seg_dist(proj_sp) <= radius) & (seg_dist(proj_ep) <= radius)
+    dir_m = proj_ep - proj_sp
+    dir_m /= np.maximum(np.linalg.norm(dir_m, axis=1, keepdims=True), 1e-9)
+    dir_f = f_ep - f_sp
+    dir_f /= np.maximum(np.linalg.norm(dir_f, axis=1, keepdims=True), 1e-9)
+    cos = np.abs(dir_m @ dir_f.T)
+    dd = _desc_dist2_np(m.ml_desc[cand], m.kf_line_desc[t])
+    mask = near & (cos >= 0.9848) & vis[:, None] & f_valid[None, :]
+    dd = np.where(mask, dd, 1e18)
+    best_f = np.argmin(dd, axis=1)
+    best_d = dd[np.arange(len(cand)), best_f]
+    hit = best_d <= 0.8
+
+    n_fused = 0
+    for s in np.flatnonzero(hit):
+        ml = int(cand[s])
+        if not m.ml_valid[ml]:
+            continue
+        f = int(best_f[s])
+        existing = int(m.kf_line_ml[t, f])
+        if existing == ml:
+            continue
+        if existing >= 0 and m.ml_valid[existing]:
+            if m.ml_n_obs[existing] > m.ml_n_obs[ml]:
+                m.replace_map_line(ml, existing)
+            else:
+                m.replace_map_line(existing, ml)
+        else:
+            m.kf_line_ml[t, f] = ml
+            m.ml_n_obs[ml] += 1
+        n_fused += 1
+    return n_fused
+
+
+def fuse_lines_in_neighbors(m: MapState, kf: int, cfg: SlamConfig) -> int:
+    """The line half of SearchInNeighbors (LocalMapping.cc:761-891 calls
+    LSDmatcher::Fuse for the 1/2-hop targets): fuse the new KF's map lines
+    into each neighbour, then the neighbours' lines back into the new KF."""
+    targets: list[int] = []
+    for t in m.best_covisible(kf, 10):
+        t = int(t)
+        if t not in targets:
+            targets.append(t)
+        for t2 in m.best_covisible(t, 5):
+            t2 = int(t2)
+            if t2 != kf and t2 not in targets:
+                targets.append(t2)
+    if not targets:
+        return 0
+
+    row = m.kf_line_ml[kf]
+    own = np.unique(row[row >= 0])
+    own = own[m.ml_valid[own]]
+    n_fused = 0
+    for t in targets:
+        if len(own) == 0:
+            break
+        trow = m.kf_line_ml[t]
+        # IsInKeyFrame skip: never fuse a line into a KF already observing it.
+        own_t = own[~np.isin(own, trow[trow >= 0])]
+        if len(own_t):
+            n_fused += _fuse_lines_into_kf(m, t, own_t, cfg)
+
+    cand = m.kf_line_ml[np.asarray(targets)].reshape(-1)
+    cand = np.unique(cand[cand >= 0])
+    cand = cand[m.ml_valid[cand]]
+    row = m.kf_line_ml[kf]
+    cand = cand[~np.isin(cand, row[row >= 0])]
+    if len(cand):
+        n_fused += _fuse_lines_into_kf(m, kf, cand, cfg)
+
+    if n_fused:
+        touched = np.unique(np.concatenate([own, cand]))
+        m.update_line_stats(touched)
+    return n_fused
 
 
 def cull_lines(m: MapState, cfg: SlamConfig) -> int:

@@ -499,20 +499,46 @@ class LoopCloser:
         fixed[loop_kf] = True
         vvalid = np.zeros(Kc, bool)
         vvalid[:K] = m.kf_valid[:K]
+
+        # Distributed path: pad the edge set to the mesh size and shard it
+        # (parallel/sharded_graph.py); identity-measurement padding keeps the
+        # masked edges' sim3_log finite.
+        n_dev = len(jax.devices()) if self.sys.cfg.distributed else 1
+        Ep = ((E + n_dev - 1) // n_dev) * n_dev if n_dev > 1 else E
+        e_i = np.zeros(Ep, np.int32)
+        e_j = np.zeros(Ep, np.int32)
+        e_s = np.ones(Ep, np.float32)
+        e_R = np.tile(np.eye(3, dtype=np.float32), (Ep, 1, 1))
+        e_t = np.zeros((Ep, 3), np.float32)
+        e_ok = np.zeros(Ep, bool)
+        e_i[:E] = np.asarray(ei, np.int32)
+        e_j[:E] = np.asarray(ej, np.int32)
+        e_s[:E] = np.asarray(ms, np.float32)
+        e_R[:E] = np.stack(mR).astype(np.float32)
+        e_t[:E] = np.stack(mt).astype(np.float32)
+        e_ok[:E] = True
         prob = PoseGraphProblem(
             S=Sim3(s=jnp.asarray(s), R=jnp.asarray(R), t=jnp.asarray(t)),
             fixed=jnp.asarray(fixed),
             vertex_valid=jnp.asarray(vvalid),
-            e_i=jnp.asarray(np.asarray(ei, np.int32)),
-            e_j=jnp.asarray(np.asarray(ej, np.int32)),
+            e_i=jnp.asarray(e_i),
+            e_j=jnp.asarray(e_j),
             e_Sji=Sim3(
-                s=jnp.asarray(np.asarray(ms, np.float32)),
-                R=jnp.asarray(np.stack(mR).astype(np.float32)),
-                t=jnp.asarray(np.stack(mt).astype(np.float32)),
+                s=jnp.asarray(e_s), R=jnp.asarray(e_R), t=jnp.asarray(e_t)
             ),
-            e_valid=jnp.ones(E, bool),
+            e_valid=jnp.asarray(e_ok),
         )
-        S_opt = optimize_essential_graph(prob, n_iters=20)
+        if n_dev > 1:
+            from pslam_tpu.parallel.sharded_ba import make_ba_mesh
+            from pslam_tpu.parallel.sharded_graph import (
+                optimize_essential_graph_sharded,
+            )
+
+            S_opt = optimize_essential_graph_sharded(
+                prob, make_ba_mesh(), n_iters=20
+            )
+        else:
+            S_opt = optimize_essential_graph(prob, n_iters=20)
         return jax.tree.map(lambda a: a[:K], S_opt)
 
     def _correct_landmarks_by_ref_kf(self, K, poses_mid, S_opt):

@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -207,7 +208,8 @@ class SlamSystem:
         hf.feat_mp[sel] = ids
         if self.cfg.use_lines and hf.line_valid is not None:
             line_mapping.create_or_attach_lines(self.map, kf, hf, hf.T_cw)
-            line_mapping.create_or_attach_lils(self.map, kf, hf, hf.T_cw)
+            if self.cfg.use_lils:
+                line_mapping.create_or_attach_lils(self.map, kf, hf, hf.T_cw)
         self.ref_kf = kf
         self.state = TrackState.OK
         self.stats["kf_inserted"] += 1
@@ -278,7 +280,8 @@ class SlamSystem:
         # --- structural lines: plane association + LIL pose terms ---------
         lil_obs = None
         if self.cfg.use_lines and hf.lil is not None:
-            lil_obs = self._associate_lils(hf, np.asarray(res.T_cw))
+            if self.cfg.use_lils:
+                lil_obs = self._associate_lils(hf, np.asarray(res.T_cw))
             self._track_lines_f2f(hf)
 
         res2 = track_local_map_step(
@@ -458,7 +461,8 @@ class SlamSystem:
         # Lines & structural lines onto the new KF.
         if self.cfg.use_lines and hf.line_valid is not None:
             line_mapping.create_or_attach_lines(self.map, kf, hf, hf.T_cw)
-            line_mapping.create_or_attach_lils(self.map, kf, hf, hf.T_cw)
+            if self.cfg.use_lils:
+                line_mapping.create_or_attach_lils(self.map, kf, hf, hf.T_cw)
             self.stats["culled"] += line_mapping.cull_lines(self.map, self.cfg)
 
         # Backend (LocalMapping::Run order, LocalMapping.cc:47-120): point
@@ -475,6 +479,12 @@ class SlamSystem:
         self.stats["fused"] = self.stats.get(
             "fused", 0
         ) + local_mapping.search_in_neighbors(self.map, kf, self.cfg)
+        if self.cfg.use_lines and hf.line_valid is not None:
+            self.stats["lines_fused"] = self.stats.get(
+                "lines_fused", 0
+            ) + line_mapping.fuse_lines_in_neighbors(self.map, kf, self.cfg)
+            row = self.map.kf_line_ml[kf]
+            self.map.update_line_stats(np.unique(row[row >= 0]))
         self.map.update_point_stats(
             np.unique(self.map.kf_feat_mp[kf][self.map.kf_feat_mp[kf] >= 0])
         )
@@ -541,7 +551,7 @@ class SlamSystem:
         prob, cam_ids, pt_ids, e_feat, n_e = out
 
         lil_pack = None
-        if self.cfg.use_lines:
+        if self.cfg.use_lines and self.cfg.use_lils:
             lil_pack = line_mapping.assemble_lil_edges(self.map, cam_ids, self.cfg)
         if lil_pack is not None:
             lil_state, lil_valid, ledges, il_ids = lil_pack
@@ -564,6 +574,18 @@ class SlamSystem:
             pl = np.concatenate([np.where(flip[:, None], -n, n),
                                  np.abs(d)[:, None]], axis=1)
             self.map.il_plane[ids] = pl.astype(np.float32)
+        elif self.cfg.distributed and len(jax.devices()) > 1:
+            # Edge-sharded Schur assembly over the device mesh
+            # (parallel/sharded_ba.py); caps.ba_edges is a power of two, so
+            # the fixed-capacity edge arrays always divide the mesh.
+            from pslam_tpu.parallel.sharded_ba import (
+                make_ba_mesh,
+                sharded_local_bundle_adjustment,
+            )
+
+            result = sharded_local_bundle_adjustment(
+                self.cfg.camera, prob, self.cfg.caps.ba_free, make_ba_mesh()
+            )
         else:
             result = local_bundle_adjustment(
                 self.cfg.camera, prob, self.cfg.caps.ba_free

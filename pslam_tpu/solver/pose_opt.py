@@ -106,31 +106,51 @@ def pose_optimization(
     no_lil = lil is None
 
     def lm_round(T, active, lil_active, use_huber):
+        # One residual/Jacobian evaluation per LM iteration: the terms at
+        # the CURRENT pose are carried, each step linearizes from them,
+        # evaluates the proposal once, and the proposal's terms become the
+        # next carry on acceptance (the naive accept-check evaluated the
+        # edge set twice per iteration — 2x the serial latency of the
+        # 4x10-iteration chain, the frame hot path's dominant cost).
+        def all_terms(T):
+            chi2, w_eff, r, J, row_mask, cost = _edge_terms(
+                cam, T, po, use_huber, active
+            )
+            if no_lil:
+                return (r, J, row_mask, w_eff), cost
+            Hx, bx, cost_x, _ = _lil_terms(cam, T, lil, use_huber, lil_active)
+            return (r, J, row_mask, w_eff, Hx, bx), cost + cost_x
+
         def body(carry, _):
-            T, lam, cost = carry
-            chi2, w_eff, r, J, row_mask, _ = _edge_terms(cam, T, po, use_huber, active)
-            H, b = _gn_system(w_eff, r, J, row_mask)
-            if not no_lil:
-                H_x, b_x, _, _ = _lil_terms(cam, T, lil, use_huber, lil_active)
-                H = H + H_x
-                b = b + b_x
+            T, lam, cost, terms = carry
+            if no_lil:
+                r, J, row_mask, w_eff = terms
+                H, b = _gn_system(w_eff, r, J, row_mask)
+            else:
+                r, J, row_mask, w_eff, Hx, bx = terms
+                H, b = _gn_system(w_eff, r, J, row_mask)
+                H = H + Hx
+                b = b + bx
             H = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6, dtype=H.dtype)
             dx = jnp.linalg.solve(H, b)
             T_new = se3_exp(dx) @ T
-            *_, cost_new = _edge_terms(cam, T_new, po, use_huber, active)
-            if not no_lil:
-                cost_new = cost_new + _lil_terms(cam, T_new, lil, use_huber, lil_active)[2]
+            terms_new, cost_new = all_terms(T_new)
             accept = cost_new < cost
             T_next = jnp.where(accept, T_new, T)
             lam_next = jnp.where(accept, lam * 0.5, lam * 4.0)
             cost_next = jnp.where(accept, cost_new, cost)
-            return (T_next, jnp.clip(lam_next, 1e-10, 1e6), cost_next), None
+            terms_next = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept, b, a), terms, terms_new
+            )
+            return (T_next, jnp.clip(lam_next, 1e-10, 1e6), cost_next,
+                    terms_next), None
 
-        *_, cost0 = _edge_terms(cam, T, po, use_huber, active)
-        if not no_lil:
-            cost0 = cost0 + _lil_terms(cam, T, lil, use_huber, lil_active)[2]
-        (T_out, _, _), _ = jax.lax.scan(
-            body, (T, jnp.asarray(1e-4, T.dtype), cost0), None, length=iters_per_round
+        terms0, cost0 = all_terms(T)
+        (T_out, _, _, _), _ = jax.lax.scan(
+            body,
+            (T, jnp.asarray(1e-4, T.dtype), cost0, terms0),
+            None,
+            length=iters_per_round,
         )
         return T_out
 

@@ -72,12 +72,18 @@ class SlamConfig:
     tracking: TrackingConfig = TrackingConfig()
     plane_assoc: PlaneAssocConfig = PlaneAssocConfig()
     use_lines: bool = True  # BASELINE config 1 (points only) sets False
+    use_lils: bool = True  # BASELINE config 2 (lines, no composite error)
+    # sets False: LILs drop out of pose opt + local BA but map lines stay
     use_bow: bool = True  # place recognition DB (reloc + loop closing)
     use_loop_closing: bool = True  # BASELINE config 4 (reference ships it off)
     loop_gba: bool = True  # global BA after a loop correction
     # BoW vocabulary shape (ops/bow.py; W = bow_k^bow_levels words).
     bow_k: int = 10
     bow_levels: int = 4
+    # Distributed solves (SURVEY §2.3 north star): edge-sharded local/global
+    # BA + KF-sharded essential graph over a jax.sharding.Mesh of all
+    # visible devices. Single-device meshes degrade to the plain path.
+    distributed: bool = False
 
     @property
     def th_depth(self) -> float:

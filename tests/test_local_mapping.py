@@ -272,3 +272,128 @@ def test_capacity_survives_many_keyframes(scene):
             for v in victims[: max(8, len(victims))]:
                 m.erase_keyframe(v)
     assert m.kf_valid.sum() <= K
+
+
+def _line_scene(cfg, m, segs, descs, poses, bind=()):
+    """Insert one KF per pose observing ``segs`` as 2D+3D line features.
+    ``bind``: set of (kf_order_idx,) whose lines get pre-bound map lines."""
+    cam = cfg.camera
+    ks = []
+    pts_desc = RNG.integers(0, 256, (40, 32), dtype=np.uint8)
+    X_pts = RNG.uniform([-1, -1, 2.5], [1, 1, 4.0], (40, 3)).astype(np.float32)
+    n = len(segs)
+    for i, T in enumerate(poses):
+        k = add_kf_observing(m, X_pts, pts_desc, T, i)
+        sp_c = segs[:, :3] @ T[:3, :3].T + T[:3, 3]
+        ep_c = segs[:, 3:] @ T[:3, :3].T + T[:3, 3]
+
+        def proj(X):
+            return np.stack(
+                [cam.fx * X[:, 0] / X[:, 2] + cam.cx,
+                 cam.fy * X[:, 1] / X[:, 2] + cam.cy], -1
+            ).astype(np.float32)
+
+        m.kf_line_sp[k, :n] = proj(sp_c)
+        m.kf_line_ep[k, :n] = proj(ep_c)
+        m.kf_line_desc[k, :n] = descs
+        m.kf_line_valid[k, :n] = True
+        m.kf_line_p3s[k, :n] = sp_c
+        m.kf_line_p3e[k, :n] = ep_c
+        m.kf_line_ok3d[k, :n] = True
+        ks.append(k)
+    # Shared points for covisibility.
+    ids = m.create_points_from_depth(ks[0], np.arange(40), X_pts)
+    for k in ks[1:]:
+        m.add_point_obs(k, np.arange(40), ids)
+        m._update_covisibility(k)
+    return ks
+
+
+def test_fuse_lines_in_neighbors_merges_duplicates():
+    """LSDmatcher::Fuse analogue (add_src/LSDmatcher.cpp:847): two KFs that
+    independently minted map lines for the same physical segment get merged
+    into one landmark with both observations."""
+    cfg = SlamConfig(use_bow=False, use_loop_closing=False)
+    m = MapState(cfg)
+    segs = np.array(
+        [[-1.0, -0.5, 3.0, 1.0, -0.5, 3.0],
+         [-1.0, 0.4, 3.0, 0.8, 0.6, 3.0]],
+        np.float32,
+    )
+    descs = RNG.normal(0, 1, (2, 40)).astype(np.float32)
+    T0 = look_at_pose([0, 0, 0])
+    T1 = look_at_pose([0.3, 0.0, 0.0], yaw=0.03)
+    ks = _line_scene(cfg, m, segs, descs, [T0, T1])
+
+    # Each KF mints its OWN map lines (duplicates of the same world segs).
+    pos_w = segs.copy()
+    a = m.create_map_lines(ks[0], np.arange(2), pos_w, descs)
+    b = m.create_map_lines(ks[1], np.arange(2), pos_w + 0.01, descs)
+    assert (a != b).all()
+
+    n = line_mapping.fuse_lines_in_neighbors(m, ks[1], cfg)
+    assert n >= 2
+    # One landmark per segment survives, observed by both KFs.
+    ml0 = m.kf_line_ml[ks[0], :2]
+    ml1 = m.kf_line_ml[ks[1], :2]
+    assert (ml0 == ml1).all()
+    assert (m.ml_n_obs[ml0] >= 2).all()
+    # The losing duplicates are dead.
+    dead = np.setdiff1d(np.concatenate([a, b]), ml0)
+    assert not m.ml_valid[dead].any()
+
+
+def test_replace_map_line_erases_duplicate_observation():
+    cfg = SlamConfig(use_bow=False, use_loop_closing=False)
+    m = MapState(cfg)
+    descs = RNG.integers(0, 256, (10, 32), dtype=np.uint8)
+    X = RNG.uniform([-1, -1, 2], [1, 1, 4], (10, 3)).astype(np.float32)
+    k0 = add_kf_observing(m, X, descs, look_at_pose([0, 0, 0]), 0)
+    k1 = add_kf_observing(m, X, descs, look_at_pose([0.2, 0, 0]), 1)
+    d = RNG.normal(0, 1, (2, 40)).astype(np.float32)
+    (old,) = m.create_map_lines(
+        k0, np.array([0]), np.zeros((1, 6), np.float32), d[:1]
+    )
+    (new,) = m.create_map_lines(
+        k1, np.array([1]), np.zeros((1, 6), np.float32), d[1:]
+    )
+    # k1 observes BOTH old and new -> after replace, the duplicate slot
+    # must be cleared, not rebound; k0 (which sees only old) rebinds.
+    m.kf_line_ml[k1, 0] = old
+    m.ml_n_obs[[old, new]] = [2, 2]
+    m.replace_map_line(old, new)
+    assert not m.ml_valid[old]
+    assert m.kf_line_ml[k1, 0] == -1  # duplicate erased
+    assert m.kf_line_ml[k1, 1] == new
+    assert m.kf_line_ml[k0, 0] == new  # k0 rebound
+
+
+def test_update_line_stats_refreshes_descriptor_and_band():
+    """MapLine::ComputeDistinctiveDescriptors + UpdateAverageDir parity
+    (add_src/MapLine.cpp:241, 320): ml_desc converges to the central
+    observation descriptor; the distance band spans the observers."""
+    cfg = SlamConfig(use_bow=False, use_loop_closing=False)
+    m = MapState(cfg)
+    seg = np.array([[-1.0, 0.0, 3.0, 1.0, 0.0, 3.0]], np.float32)
+    base = RNG.normal(0, 1, 40).astype(np.float32)
+    poses = [look_at_pose([0, 0, 0]), look_at_pose([0.2, 0, 0]),
+             look_at_pose([0, 0, 1.0])]
+    descs = base[None, :]
+    ks = _line_scene(cfg, m, seg, descs, poses)
+    # Slightly different descriptor per observation; the middle one (closest
+    # to the others) must win.
+    m.kf_line_desc[ks[0], 0] = base + 0.9  # outlier observation
+    m.kf_line_desc[ks[1], 0] = base
+    m.kf_line_desc[ks[2], 0] = base + 0.05
+    ids = m.create_map_lines(ks[0], np.array([0]), seg, descs)
+    m.kf_line_ml[ks[1], 0] = ids[0]
+    m.kf_line_ml[ks[2], 0] = ids[0]
+    m.ml_n_obs[ids[0]] = 3
+
+    m.update_line_stats(ids)
+    assert np.allclose(m.ml_desc[ids[0]], base)
+    # Band: z=3 plane seen from z=0 and z=1 -> min ~2, max ~3.
+    assert m.ml_min_dist[ids[0]] < 2.3
+    assert m.ml_max_dist[ids[0]] > 2.9
+    # Normal points from cameras toward the line (world +z).
+    assert m.ml_normal[ids[0], 2] > 0.9
