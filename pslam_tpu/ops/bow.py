@@ -142,15 +142,47 @@ def train_vocabulary(
     )
 
 
+def save_vocabulary(vocab: Vocabulary, path: str):
+    """Serialize a trained vocabulary (the ORBvoc.txt analogue, but a
+    compressed npz loading in milliseconds instead of minutes,
+    System.cc:61-72)."""
+    arrs = {f"level{l}": np.asarray(d) for l, d in enumerate(vocab.node_desc)}
+    arrs["idf"] = np.asarray(vocab.idf)
+    np.savez_compressed(path, **arrs)
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    data = np.load(path)
+    levels = sorted(
+        int(k.removeprefix("level")) for k in data.files if k.startswith("level")
+    )
+    return Vocabulary(
+        node_desc=tuple(jnp.asarray(data[f"level{l}"]) for l in levels),
+        idf=jnp.asarray(data["idf"]),
+    )
+
+
+# Packaged vocabulary trained on real ORB descriptor statistics harvested
+# from rendered scenes (scripts/train_vocab.py) — the ORBvoc.txt stand-in.
+PACKAGED_VOCAB = __file__.rsplit("/", 2)[0] + "/data/vocab_orb.npz"
+
+
 def default_vocabulary(
     k: int = 10, levels: int = 4, n_train: int = 16384, seed: int = 3
 ) -> Vocabulary:
     # W = k^levels must be >> features/frame for discriminative shared-word
     # counts (the reference vocabulary has ~1M leaves for 1000 features).
-    """Deterministic vocabulary trained on random bitstrings. Random 256-bit
-    codes are a reasonable stand-in for ORB statistics (rBRIEF bits are
-    near-uniform, near-independent by construction); dataset-specific
-    vocabularies can be trained with train_vocabulary."""
+    """Default vocabulary: the packaged one trained on real ORB descriptor
+    statistics when its shape matches (scripts/train_vocab.py; the
+    reference's ORBvoc.txt was trained offline on real imagery the same
+    way, TemplatedVocabulary::create), else a deterministic fallback
+    trained on random bitstrings."""
+    import os
+
+    if os.path.exists(PACKAGED_VOCAB):
+        vocab = load_vocabulary(PACKAGED_VOCAB)
+        if vocab.k == k and vocab.levels == levels:
+            return vocab
     rng = np.random.default_rng(seed)
     descs = rng.integers(0, 256, size=(n_train, 32), dtype=np.uint8)
     return train_vocabulary(descs, k=k, levels=levels, seed=seed)

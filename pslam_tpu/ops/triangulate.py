@@ -69,6 +69,14 @@ def _rays_world(cam: Camera, T_cw, uv):
     return d_w / jnp.linalg.norm(d_w, axis=-1, keepdims=True)
 
 
+def _unproject_view(cam: Camera, T_cw, uv, depth):
+    """Backproject pixels with depth to world frame."""
+    x = (uv[:, 0] - cam.cx) / cam.fx * depth
+    y = (uv[:, 1] - cam.cy) / cam.fy * depth
+    Xc = jnp.stack([x, y, depth], axis=-1)
+    return (Xc - T_cw[:3, 3]) @ T_cw[:3, :3]
+
+
 def _reproj_ok(cam: Camera, T_cw, X_w, uv, ur, level, sigma2, chi_mono, chi_stereo):
     """Positive depth + chi^2 reprojection gate in one view
     (LocalMapping.cc:424-470)."""
@@ -131,18 +139,42 @@ def epipolar_triangulate(
         ratio=1.0,
         extra_mask=epi_ok,
     )
-    keep = rotation_consistency_mask(
-        kf1.angle, kf2.angle[jnp.maximum(idx2, 0)], idx2 >= 0
-    )
+    j0 = jnp.maximum(idx2, 0)
+    # All per-match row gathers from kf2 as ONE one-hot matmul (runtime-
+    # index gathers of thin rows measured ~4 ms/1000 rows on this TPU).
+    N2 = kf2.uv.shape[0]
+    r2_all = _rays_world(cam, kf2.T_cw, kf2.uv)
+    X_d2_all = _unproject_view(cam, kf2.T_cw, kf2.uv, kf2.depth)
+    vals2 = jnp.concatenate(
+        [
+            kf2.angle[:, None],
+            kf2.depth[:, None],
+            kf2.uv,
+            kf2.ur[:, None],
+            kf2.level.astype(jnp.float32)[:, None],
+            r2_all,
+            X_d2_all,
+        ],
+        axis=1,
+    )  # (N2, 12)
+    sel = (j0[:, None] == jnp.arange(N2)[None, :]).astype(jnp.float32)
+    g = jax.lax.dot_general(
+        sel, vals2, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (N1, 12)
+    g_angle, g_depth = g[:, 0], g[:, 1]
+    g_uv, g_ur = g[:, 2:4], g[:, 4]
+    g_level = jnp.round(g[:, 5]).astype(jnp.int32)
+    r2, X_d2 = g[:, 6:9], g[:, 9:12]
+
+    keep = rotation_consistency_mask(kf1.angle, g_angle, idx2 >= 0)
     idx2 = jnp.where(keep, idx2, -1)
-    j = jnp.maximum(idx2, 0)
 
     # --- triangulation (LocalMapping.cc:352-422) ---------------------------
     C1 = _cam_center(kf1.T_cw)
     C2 = _cam_center(kf2.T_cw)
     r1 = _rays_world(cam, kf1.T_cw, kf1.uv)
-    r2_all = _rays_world(cam, kf2.T_cw, kf2.uv)
-    r2 = r2_all[j]
     cos_par = jnp.sum(r1 * r2, axis=-1)
 
     # Stereo parallax from depth: cos(2 atan2(b/2, z)) (LocalMapping.cc:372).
@@ -150,10 +182,10 @@ def epipolar_triangulate(
     cp_s1 = jnp.where(
         kf1.depth > 0, jnp.cos(2.0 * jnp.arctan2(b / 2.0, jnp.maximum(kf1.depth, 1e-9))), 2.0
     )
-    cp_s2_all = jnp.where(
-        kf2.depth > 0, jnp.cos(2.0 * jnp.arctan2(b / 2.0, jnp.maximum(kf2.depth, 1e-9))), 2.0
+    cp_s2 = jnp.where(
+        g_depth > 0, jnp.cos(2.0 * jnp.arctan2(b / 2.0, jnp.maximum(g_depth, 1e-9))), 2.0
     )
-    cp_stereo = jnp.minimum(cp_s1, cp_s2_all[j])
+    cp_stereo = jnp.minimum(cp_s1, cp_s2)
 
     # Two-ray midpoint least squares: min ||C1 + a r1 - C2 - b r2||.
     w = C2 - C1
@@ -165,20 +197,12 @@ def epipolar_triangulate(
     bb = b_num / det
     X_tri = 0.5 * (C1 + aa[:, None] * r1 + C2 + bb[:, None] * r2)
 
-    # Unprojections from depth.
-    def unproject(kfv, uv, depth):
-        x = (uv[:, 0] - cam.cx) / cam.fx * depth
-        y = (uv[:, 1] - cam.cy) / cam.fy * depth
-        Xc = jnp.stack([x, y, depth], axis=-1)
-        return (Xc - kfv.T_cw[:3, 3]) @ kfv.T_cw[:3, :3]
-
-    X_d1 = unproject(kf1, kf1.uv, kf1.depth)
-    X_d2_all = unproject(kf2, kf2.uv, kf2.depth)
-    X_d2 = X_d2_all[j]
+    # Unprojections from depth (X_d2 gathered above).
+    X_d1 = _unproject_view(cam, kf1.T_cw, kf1.uv, kf1.depth)
 
     good_par = (cos_par > 0) & (cos_par < 0.9998) & (cos_par < cp_stereo)
     use_d1 = (~good_par) & (kf1.depth > 0)
-    use_d2 = (~good_par) & (~use_d1) & (kf2.depth[j] > 0)
+    use_d2 = (~good_par) & (~use_d1) & (g_depth > 0)
     X_w = jnp.where(
         good_par[:, None],
         X_tri,
@@ -191,7 +215,7 @@ def epipolar_triangulate(
         cam, kf1.T_cw, X_w, kf1.uv, kf1.ur, kf1.level, sigma2, 5.991, 7.8
     )
     ok2, z2 = _reproj_ok(
-        cam, kf2.T_cw, X_w, kf2.uv[j], kf2.ur[j], kf2.level[j], sigma2, 5.991, 7.8
+        cam, kf2.T_cw, X_w, g_uv, g_ur, g_level, sigma2, 5.991, 7.8
     )
 
     # Scale consistency (LocalMapping.cc:488-501).
@@ -199,7 +223,7 @@ def epipolar_triangulate(
     d2 = jnp.linalg.norm(X_w - C2, axis=-1)
     ratio_dist = d2 / jnp.maximum(d1, 1e-9)
     ratio_oct = sfac2[jnp.clip(kf1.level, 0, levels - 1)] / sfac2[
-        jnp.clip(kf2.level[j], 0, levels - 1)
+        jnp.clip(g_level, 0, levels - 1)
     ]
     ratio_factor = 1.5 * scale
     scale_ok = (ratio_dist * ratio_factor > ratio_oct) & (

@@ -115,25 +115,31 @@ def sharded_local_bundle_adjustment(
     def lm_phase(T_all, X_all, active, n_iters, use_huber):
         params = jnp.asarray([1.0 if use_huber else 0.0], jnp.float32)
 
+        # One assembly (and one psum of the normal-equation blocks) per LM
+        # iteration: the blocks at the current estimate ride the carry, the
+        # step solves from them, and the proposal's blocks (needed for its
+        # cost anyway) become the next carry on acceptance.
         def body(carry, _):
-            T_all, X_all, lam, cost = carry
-            (Hcc, bc, Hpp, bp, G), _ = assemble_shard(
-                T_all, X_all, prob, active, params
-            )
+            T_all, X_all, lam, cost, blocks = carry
+            Hcc, bc, Hpp, bp, G = blocks
             dx_c, dx_p = _solve_schur(Hcc, bc, Hpp, bp, G, prob.point_valid, lam)
             T_new, X_new = _apply(prob, T_all, X_all, dx_c, dx_p)
-            _, cost_new = assemble_shard(T_new, X_new, prob, active, params)
+            blocks_new, cost_new = assemble_shard(
+                T_new, X_new, prob, active, params
+            )
             accept = cost_new < cost
-            T_next = jnp.where(accept, T_new, T_all)
-            X_next = jnp.where(accept, X_new, X_all)
+            sel = lambda a, b: jnp.where(accept, a, b)  # noqa: E731
+            T_next = sel(T_new, T_all)
+            X_next = sel(X_new, X_all)
+            blocks_next = jax.tree_util.tree_map(sel, blocks_new, blocks)
             lam_next = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e6)
             cost_next = jnp.where(accept, cost_new, cost)
-            return (T_next, X_next, lam_next, cost_next), None
+            return (T_next, X_next, lam_next, cost_next, blocks_next), None
 
-        _, cost0 = assemble_shard(T_all, X_all, prob, active, params)
-        (T_out, X_out, _, _), _ = jax.lax.scan(
+        blocks0, cost0 = assemble_shard(T_all, X_all, prob, active, params)
+        (T_out, X_out, *_), _ = jax.lax.scan(
             body,
-            (T_all, X_all, jnp.asarray(1e-4, T_all.dtype), cost0),
+            (T_all, X_all, jnp.asarray(1e-4, T_all.dtype), cost0, blocks0),
             None,
             length=n_iters,
         )

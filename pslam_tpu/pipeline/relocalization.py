@@ -147,24 +147,45 @@ def relocalize(system, hf, fd: FrameData):
     n_in, kf, res = best
 
     # Coarse projection re-search around the recovered pose + re-optimize
-    # (SearchByProjection coarse->fine, Tracking.cc:2135-2165), using the
-    # candidate KF's map-point set.
-    from pslam_tpu.pipeline.track_ops import track_against_points
+    # (SearchByProjection coarse->fine, Tracking.cc:2135-2165). The search
+    # set is the candidate KF's covisible NEIGHBOURHOOD (local-map style),
+    # not just its own points — recovery often happens a little off the
+    # candidate's exact viewpoint and the wide window must have map points
+    # to find there.
+    from pslam_tpu.pipeline.track_ops import (
+        track_against_points,
+        track_local_map_step,
+    )
 
-    mp = m.kf_feat_mp[kf]
-    mp_ids = mp[mp >= 0]
+    neigh = [kf] + [int(j) for j in m.best_covisible(kf, 10)]
+    mp = m.kf_feat_mp[np.asarray(neigh)].reshape(-1)
+    mp_ids = np.unique(mp[mp >= 0])
     mp_ids = mp_ids[m.mp_valid[mp_ids]]
-    pts = system._point_set(mp_ids, cap=len(mp))
+    pts = system._point_set(mp_ids, cap=cfg.caps.local_points)
     res2 = track_against_points(
         cfg.camera, res.T_cw, pts, fd, 10.0, cfg.orb.scale, cfg.orb.levels
     )
     n_final = int(res2.n_inliers)
+    match_point = np.asarray(res2.match_point)
+    inl = np.asarray(res2.inlier)
+    T_final = res2.T_cw
+    if accept_th > n_final >= 30:
+        # Narrow second pass from the refined pose, keeping found matches
+        # as priors (the window-3 re-search of Tracking.cc:2146-2161).
+        prior = jnp.asarray(np.where(match_point >= 0, match_point, -1))
+        res3 = track_local_map_step(
+            cfg.camera, res2.T_cw, pts, fd, prior, 3.0,
+            cfg.orb.scale, cfg.orb.levels,
+        )
+        if int(res3.n_inliers) > n_final:
+            n_final = int(res3.n_inliers)
+            match_point = np.asarray(res3.match_point)
+            inl = np.asarray(res3.inlier)
+            T_final = res3.T_cw
     if n_final < accept_th:
         return False
 
-    hf.T_cw = np.asarray(res2.T_cw)
-    match_point = np.asarray(res2.match_point)
-    inl = np.asarray(res2.inlier)
+    hf.T_cw = np.asarray(T_final)
     sel = np.flatnonzero((match_point >= 0) & inl)[: len(mp_ids)]
     sel = sel[sel < len(mp_ids)]
     hf.feat_mp[match_point[sel]] = mp_ids[sel]

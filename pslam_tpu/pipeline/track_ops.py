@@ -134,19 +134,39 @@ def _match_points_to_frame(
         )
     # Rotation consistency over accepted pairs.
     pair_ok = idx >= 0
-    f_angle = frame.angle[jnp.maximum(idx, 0)]
+    f_angle = _gather_rows(frame.angle[:, None], idx)[:, 0]
     keep = rotation_consistency_mask(pts.angle, f_angle, pair_ok)
     return jnp.where(keep, idx, -1), visible
+
+
+def _gather_rows(vals, idx):
+    """vals (N, K) gathered at clamp(idx, 0) via a one-hot matmul (exact,
+    MXU). Runtime-index gathers of thin rows measured ~4 ms per 1000 rows
+    on this TPU; this is the frame-rate path."""
+    fi = jnp.maximum(idx, 0)
+    sel = (fi[:, None] == jnp.arange(vals.shape[0])[None, :]).astype(
+        jnp.float32
+    )
+    return jax.lax.dot_general(
+        sel, vals.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _pose_obs_from_matches(pts: PointSet, frame: FrameData, match_idx, sigma2):
     """Build the fixed-capacity PoseObs (one slot per candidate point)."""
     m = match_idx >= 0
-    fi = jnp.maximum(match_idx, 0)
-    obs = jnp.stack(
-        [frame.uv[fi, 0], frame.uv[fi, 1], frame.ur[fi]], axis=-1
+    g = _gather_rows(
+        jnp.stack(
+            [frame.uv[:, 0], frame.uv[:, 1], frame.ur,
+             frame.level.astype(jnp.float32)], axis=-1
+        ),
+        match_idx,
     )
-    inv_s2 = 1.0 / sigma2[jnp.clip(frame.level[fi], 0, sigma2.shape[0] - 1)]
+    obs = g[:, :3]
+    lvl = jnp.round(g[:, 3]).astype(jnp.int32)
+    inv_s2 = 1.0 / sigma2[jnp.clip(lvl, 0, sigma2.shape[0] - 1)]
     return PoseObs(
         X_w=pts.pos,
         obs=obs,
@@ -225,7 +245,7 @@ def track_against_points_unwindowed(
         dist, valid_a=pts.valid, valid_b=frame.valid,
         max_dist=TH_LOW, ratio=0.7,
     )
-    f_angle = frame.angle[jnp.maximum(idx, 0)]
+    f_angle = _gather_rows(frame.angle[:, None], idx)[:, 0]
     keep = rotation_consistency_mask(pts.angle, f_angle, idx >= 0)
     match_idx = jnp.where(keep, idx, -1)
     sigma2 = scale_sigma2_arr(orb_scale, orb_levels)

@@ -191,3 +191,57 @@ class TestRansac:
         )
         inl = np.asarray(res.inlier)
         np.testing.assert_allclose(X1_rec[inl], X1[inl], atol=0.05)
+
+
+class TestRealVocabularyPR:
+    """Place-recognition precision/recall with the PACKAGED vocabulary
+    trained on real ORB statistics (scripts/train_vocab.py; VERDICT r2
+    item 6): on a revisit circuit, frames must retrieve temporally-near or
+    revisit frames — never unrelated viewpoints."""
+
+    def test_packaged_vocab_loads(self):
+        import os
+
+        from pslam_tpu.ops.bow import PACKAGED_VOCAB, default_vocabulary
+
+        assert os.path.exists(PACKAGED_VOCAB)
+        vocab = default_vocabulary(k=10, levels=4)
+        assert vocab.n_words == 10_000
+
+    def test_revisit_precision_recall(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pslam_tpu.io.synthetic import (
+            ClosedRoom, loop_trajectory, render_sequence,
+        )
+        from pslam_tpu.ops.bow import default_vocabulary, score_l1, transform
+        from pslam_tpu.ops.orb import extract_orb
+        from pslam_tpu.utils.config import SlamConfig
+
+        cfg = SlamConfig()
+        n = 16
+        poses = loop_trajectory(n, loops=1.0)
+        room = ClosedRoom(depth=5.0, half_w=3.0, half_h=2.0, seed=5)
+        grays, _, _ = render_sequence(cfg.camera, poses=poses, room=room)
+        vocab = default_vocabulary(k=10, levels=4)
+
+        bows = []
+        for g in grays:
+            f = extract_orb(jnp.asarray(g), cfg.orb)
+            bow, _, _ = transform(vocab, f.desc, f.valid)
+            bows.append(np.asarray(bow))
+        B = jnp.asarray(np.stack(bows))
+
+        # For each query frame, the best OTHER frame must be a yaw
+        # neighbour (circular distance <= 2) — the sequence pans a full
+        # 360 deg circle, so frame 0's revisit partners are frames 14/15.
+        hits, total = 0, 0
+        for q in range(n):
+            s = np.asarray(score_l1(B[q], B)).copy()
+            s[q] = -1.0
+            best = int(np.argmax(s))
+            d = min(abs(best - q), n - abs(best - q))
+            total += 1
+            hits += int(d <= 2)
+        assert hits / total >= 0.9, f"precision {hits}/{total}"
