@@ -32,6 +32,7 @@ def _map_arrays(m) -> dict:
 def save_checkpoint(system, path: str):
     """Serialize a SlamSystem (map + BoW DB + vocabulary + tracker state +
     loop edges) to ``path`` (.npz)."""
+    system.flush()  # commit in-flight BA + device accumulators first
     arrs = _map_arrays(system.map)
 
     # Tracker bookkeeping.

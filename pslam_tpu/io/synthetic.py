@@ -32,6 +32,27 @@ def checker_texture(size: int = 1024, cell: int = 32, seed: int = 0):
     return tex.astype(np.float32)
 
 
+def _undistort_normalized_np(xn, dist, iters: int = 8):
+    """Invert the OpenCV distortion model on normalized coords (numpy
+    fixed-point, mirrors geometry.camera.undistort_points)."""
+    k1, k2, p1, p2, k3 = dist
+
+    def fwd(x, y):
+        r2 = x * x + y * y
+        radial = 1.0 + k1 * r2 + k2 * r2 * r2 + k3 * r2 * r2 * r2
+        xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        return xd, yd
+
+    x0, y0 = xn[..., 0], xn[..., 1]
+    x, y = x0.copy(), y0.copy()
+    for _ in range(iters):
+        xd, yd = fwd(x, y)
+        x = x - (xd - x0)
+        y = y - (yd - y0)
+    return np.stack([x, y], axis=-1)
+
+
 @dataclasses.dataclass
 class BoxRoom:
     """Axis-aligned textured box room. Walls at z=depth, x=+-half_w, y=+-half_h."""
@@ -47,15 +68,22 @@ class BoxRoom:
             checker_texture(self.tex_size, 32 + 8 * i, self.seed + i) for i in range(4)
         ]
 
-    def render(self, K, T_cw, width: int, height: int):
+    def render(self, K, T_cw, width: int, height: int, dist=None):
         """Render grayscale + depth for camera pose T_cw (world->cam, 4x4).
 
+        ``dist``: optional (k1, k2, p1, p2, k3) — renders through the OpenCV
+        lens-distortion model so the images match a distorted calibration.
         Returns (gray (H, W) float32 [0..255], depth (H, W) float32 meters).
         """
         fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
         us, vs = np.meshgrid(np.arange(width), np.arange(height))
-        rays_c = np.stack(
-            [(us - cx) / fx, (vs - cy) / fy, np.ones_like(us, np.float64)], axis=-1
+        xn = np.stack([(us - cx) / fx, (vs - cy) / fy], axis=-1)
+        if dist is not None:
+            # Distorted-image rendering: the ray of a distorted pixel goes
+            # through the UNDISTORTED normalized coordinates.
+            xn = _undistort_normalized_np(xn, dist)
+        rays_c = np.concatenate(
+            [xn, np.ones(xn.shape[:-1] + (1,), np.float64)], axis=-1
         )
         R = T_cw[:3, :3]
         t = T_cw[:3, 3]
@@ -170,12 +198,14 @@ class ClosedRoom(BoxRoom):
             for i in range(6)
         ]
 
-    def render(self, K, T_cw, width: int, height: int):
+    def render(self, K, T_cw, width: int, height: int, dist=None):
         fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
         us, vs = np.meshgrid(np.arange(width), np.arange(height))
-        rays_c = np.stack(
-            [(us - cx) / fx, (vs - cy) / fy, np.ones_like(us, np.float64)],
-            axis=-1,
+        xn = np.stack([(us - cx) / fx, (vs - cy) / fy], axis=-1)
+        if dist is not None:
+            xn = _undistort_normalized_np(xn, dist)
+        rays_c = np.concatenate(
+            [xn, np.ones(xn.shape[:-1] + (1,), np.float64)], axis=-1
         )
         R = T_cw[:3, :3]
         t = T_cw[:3, 3]
@@ -230,17 +260,27 @@ def render_sequence(
     seed: int = 0,
     room: BoxRoom | None = None,
     poses: np.ndarray | None = None,
+    use_distortion: bool = False,
 ):
-    """Render an RGB-D sequence. Returns (grays, depths, poses_w2c)."""
+    """Render an RGB-D sequence. Returns (grays, depths, poses_w2c).
+
+    ``use_distortion``: render through ``cam``'s k1/k2/p1/p2/k3 so the
+    images are consistent with a distorted calibration (exercises the
+    Frame::UndistortKeyPoints path end to end)."""
     room = room or BoxRoom(seed=seed)
     K = np.array(
         [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], dtype=np.float64
+    )
+    dist = (
+        (cam.k1, cam.k2, cam.p1, cam.p2, cam.k3) if use_distortion else None
     )
     if poses is None:
         poses = arc_trajectory(n_frames)
     grays, depths = [], []
     for T in poses:
-        g, d = room.render(K, T.astype(np.float64), cam.width, cam.height)
+        g, d = room.render(
+            K, T.astype(np.float64), cam.width, cam.height, dist=dist
+        )
         grays.append(g)
         depths.append(d)
     return np.stack(grays), np.stack(depths), poses

@@ -192,8 +192,21 @@ class MapState:
         else:
             k = self.n_kf
             if k >= self.kf_valid.shape[0]:
-                raise RuntimeError("keyframe capacity exhausted")
-            self.n_kf += 1
+                # Callers should evict beforehand (SlamSystem evicts the
+                # most redundant KF); this is the last-resort backstop so a
+                # long corridor run degrades instead of dying.
+                live = np.flatnonzero(self.kf_valid)
+                cand = live[live != self.last_kf]
+                cand = cand[cand != 0]
+                k = int(cand[np.argmax(self.covis[cand].max(axis=1))])
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "keyframe capacity: evicting most-redundant KF %d", k
+                )
+                self.erase_keyframe(k)
+            else:
+                self.n_kf += 1
         self.last_kf = k
         self.kf_seq[k] = self.next_kf_seq
         self.next_kf_seq += 1
@@ -447,6 +460,7 @@ class MapState:
         self.il_first_kf[ids] = kf_idx
         self.il_first_seq[ids] = self.kf_seq[kf_idx]
         self.il_n_obs[ids] = 1
+        self.il_frame_obs[ids] = 1  # the creating frame observed it
         self.kf_lil_il[kf_idx, lil_slots] = ids
         self.kf_lil_obs[kf_idx, lil_slots] = obs8
         return ids

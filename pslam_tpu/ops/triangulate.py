@@ -232,3 +232,18 @@ def epipolar_triangulate(
 
     ok = (idx2 >= 0) & has_X & ok1 & ok2 & scale_ok & (d1 > 1e-6) & (d2 > 1e-6)
     return jnp.where(ok, idx2, -1), X_w, ok
+
+
+@partial(jax.jit, static_argnames=("cam", "scale", "levels"))
+def epipolar_triangulate_batch(
+    cam: Camera, kf1: KFView, kf2s: KFView, scale: float = 1.2,
+    levels: int = 8,
+):
+    """Triangulate kf1 against a STACK of neighbour views in one dispatch
+    (kf2s leaves carry a leading neighbour axis). The reference loops its
+    ~10 covisible neighbours sequentially (LocalMapping.cc:275-520); on the
+    TPU the loop becomes a vmap so keyframe insertion costs one launch
+    instead of ten round trips."""
+    return jax.vmap(
+        lambda v2: epipolar_triangulate(cam, kf1, v2, scale, levels)
+    )(kf2s)

@@ -113,10 +113,12 @@ class KeyFrameDatabase:
 
     def compute_bow(self, desc_u8, valid):
         """Device BoW transform for one frame's descriptors; returns host
-        (bow, word, node)."""
+        (bow, word, node) via one batched fetch."""
+        import jax
         import jax.numpy as jnp
 
-        b, w, n = bow_ops.transform(
-            self.vocab, jnp.asarray(desc_u8), jnp.asarray(valid)
+        return jax.device_get(
+            bow_ops.transform(
+                self.vocab, jnp.asarray(desc_u8), jnp.asarray(valid)
+            )
         )
-        return np.asarray(b), np.asarray(w), np.asarray(n)

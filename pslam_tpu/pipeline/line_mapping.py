@@ -215,7 +215,7 @@ def match_map_lines_to_view(
 ):
     """Project map lines into a view and match them against its line features
     (LSDmatcher::SearchByProjection, add_src/LSDmatcher.cpp:112-260).
-    Returns (idx (M,) frame-line slot or -1)."""
+    Returns (idx (M,) frame-line slot or -1, visible (M,) frustum mask)."""
     import jax.numpy as jnp
 
     from pslam_tpu.ops.line_match import match_lines_projection
@@ -252,7 +252,7 @@ def match_map_lines_to_view(
         jnp.asarray(f_sp), jnp.asarray(f_ep), jnp.asarray(f_desc),
         jnp.asarray(f_valid), radius,
     )
-    return np.asarray(idx)[: len(ml_ids)]
+    return np.asarray(idx)[: len(ml_ids)], vmask
 
 
 def local_map_lines(m: MapState, kf_ids, cap: int = 512) -> np.ndarray:
@@ -277,15 +277,24 @@ def track_local_map_lines(system, hf, T_cw: np.ndarray) -> int:
     ml_ids = local_map_lines(m, kf_ids)
     if len(ml_ids) == 0:
         return 0
-    idx = match_map_lines_to_view(
+    idx, vis = match_map_lines_to_view(
         m, ml_ids, T_cw, hf.line_sp, hf.line_ep, hf.line_desc, hf.line_valid,
         system.cfg,
     )
     got = (idx >= 0) & (hf.line_ml[np.maximum(idx, 0)] < 0)
     sel = np.flatnonzero(got)
     hf.line_ml[idx[sel]] = ml_ids[sel]
-    np.add.at(m.ml_visible, ml_ids[idx >= 0], 1)
-    np.add.at(m.ml_found, ml_ids[sel], 1)
+    # Found/visible accounting (MapLine::IncreaseVisible/IncreaseFound via
+    # SearchLocalLines + TrackLocalMap, Tracking.cc:1754-1838, 1341-1396):
+    # every frustum-visible local line counts as visible; every line the
+    # frame ends up holding (f2f-inherited OR freshly matched) counts as
+    # found. The f2f path itself increments nothing (the r3 double-increment
+    # made the 0.25 cull ratio unreachable from that path).
+    np.add.at(m.ml_visible, ml_ids[vis], 1)
+    held = np.unique(hf.line_ml[hf.line_ml >= 0])
+    carried = held[~np.isin(held, ml_ids[vis])]
+    np.add.at(m.ml_visible, carried, 1)
+    np.add.at(m.ml_found, held, 1)
     return len(sel)
 
 
@@ -555,4 +564,21 @@ def cull_lines(m: MapState, cfg: SlamConfig) -> int:
     ids = np.flatnonzero(bad)
     if len(ids):
         m.cull_map_lines(ids)
+    return len(ids)
+
+
+def cull_lils_by_quality(m: MapState, cfg: SlamConfig) -> int:
+    """InsectLine probation culling (insectline.cc:22,39-43): a LIL is only
+    'good' once plane-associated by > observe_th distinct frames (mbBadPre)
+    and observed from >= 2 keyframes (mbBad). The reference merely leaves
+    failures flagged bad; here they are reclaimed once their probation
+    window (in keyframe insertions) has passed, so the LIL table stays
+    bounded by quality rather than capacity."""
+    pa = cfg.plane_assoc
+    age = m.next_kf_seq - 1 - m.il_first_seq
+    immature = (m.il_frame_obs <= pa.observe_th) | (m.il_n_obs < 2)
+    bad = m.il_valid & (age >= pa.probation_kfs) & immature
+    ids = np.flatnonzero(bad)
+    if len(ids):
+        m.cull_lils(ids)
     return len(ids)

@@ -188,38 +188,58 @@ def create_new_map_points(m: MapState, kf: int, cfg: SlamConfig) -> int:
     """Epipolar triangulation of new map points between the new KF and its
     top-10 covisible neighbours (LocalMapping::CreateNewMapPoints,
     LocalMapping.cc:275-520 + ORBmatcher::SearchForTriangulation,
-    ORBmatcher.cc:657). Each KF pair is one batched device dispatch; created
-    points get observations in both views."""
-    from pslam_tpu.ops.triangulate import epipolar_triangulate
+    ORBmatcher.cc:657). ALL neighbour pairs ride one vmapped device
+    dispatch + one batched fetch; the host applies the per-neighbour
+    results greedily (a feature bound by an earlier neighbour is skipped
+    for later ones, matching the reference's sequential free-set update)."""
+    from pslam_tpu.ops.triangulate import KFView, epipolar_triangulate_batch
 
-    neighbors = m.best_covisible(kf, 10)
+    C_kf = m.kf_camera_center(kf)
+    neighbors = [
+        int(nkf)
+        for nkf in m.best_covisible(kf, 10)
+        # Baseline gate (stereo/RGB-D branch, LocalMapping.cc:325-333).
+        if np.linalg.norm(m.kf_camera_center(int(nkf)) - C_kf)
+        >= cfg.camera.baseline
+    ]
     if len(neighbors) == 0:
         return 0
-    C_kf = m.kf_camera_center(kf)
     free1 = (m.kf_feat_mp[kf] < 0) & m.kf_feat_valid[kf]
-    created_ids = []
-    for nkf in neighbors:
-        nkf = int(nkf)
-        # Baseline gate (stereo/RGB-D branch, LocalMapping.cc:325-333).
-        if np.linalg.norm(m.kf_camera_center(nkf) - C_kf) < cfg.camera.baseline:
-            continue
-        if not free1.any():
-            break
-        free2 = (m.kf_feat_mp[nkf] < 0) & m.kf_feat_valid[nkf]
-        idx2, X_w, ok = epipolar_triangulate(
-            cfg.camera,
-            _kf_view(m, kf, free1),
-            _kf_view(m, nkf, free2),
-            cfg.orb.scale,
-            cfg.orb.levels,
+    if not free1.any():
+        return 0
+
+    # Pad the neighbour axis to a constant 10 (one compiled shape); pad
+    # slots repeat the first neighbour with free=False, so they match
+    # nothing.
+    NB = 10
+    nb = np.asarray((neighbors + neighbors[:1] * NB)[:NB])
+    free2 = (m.kf_feat_mp[nb] < 0) & m.kf_feat_valid[nb]
+    free2[len(neighbors):] = False
+    views2 = KFView(
+        T_cw=jnp.asarray(m.kf_pose[nb]),
+        uv=jnp.asarray(m.kf_uv[nb]),
+        ur=jnp.asarray(m.kf_ur[nb]),
+        depth=jnp.asarray(m.kf_feat_depth[nb]),
+        level=jnp.asarray(m.kf_level[nb]),
+        angle=jnp.asarray(m.kf_angle[nb]),
+        desc=jnp.asarray(m.kf_desc[nb]),
+        free=jnp.asarray(free2),
+    )
+    idx2_b, X_w_b, ok_b = jax.device_get(
+        epipolar_triangulate_batch(
+            cfg.camera, _kf_view(m, kf, free1), views2,
+            cfg.orb.scale, cfg.orb.levels,
         )
-        ok = np.asarray(ok) & free1
+    )
+
+    created_ids = []
+    for j, nkf in enumerate(neighbors):
+        ok = ok_b[j] & free1
         sel1 = np.flatnonzero(ok)
         if len(sel1) == 0:
             continue
-        idx2 = np.asarray(idx2)
-        ids = m.create_points_from_depth(kf, sel1, np.asarray(X_w)[sel1])
-        m.add_point_obs(nkf, idx2[sel1], ids)
+        ids = m.create_points_from_depth(kf, sel1, X_w_b[j][sel1])
+        m.add_point_obs(nkf, idx2_b[j][sel1], ids)
         free1[sel1] = False
         created_ids.append(ids)
     if not created_ids:
@@ -304,6 +324,12 @@ def _fuse_into_kf(m: MapState, t: int, cand_ids: np.ndarray, cfg: SlamConfig):
         cfg.orb.levels,
     )
     idx = np.asarray(idx)[:n]
+    return _apply_fuse(m, t, cand_ids, idx)
+
+
+def _apply_fuse(m: MapState, t: int, cand_ids, idx):
+    """Apply one target's fuse matches: replace-or-add
+    (ORBmatcher::Fuse apply rule, ORBmatcher.cc:920-941)."""
     n_fused = 0
     for p_slot in np.flatnonzero(idx >= 0):
         p_id = int(cand_ids[p_slot])
@@ -328,7 +354,9 @@ def _fuse_into_kf(m: MapState, t: int, cand_ids: np.ndarray, cfg: SlamConfig):
 def search_in_neighbors(m: MapState, kf: int, cfg: SlamConfig) -> int:
     """Duplicate-landmark fusion with 1-hop + 2-hop covisible neighbours
     (LocalMapping::SearchInNeighbors, LocalMapping.cc:761-891): fuse the new
-    KF's points into each target, then all target points into the new KF."""
+    KF's points into each target, then all target points into the new KF.
+    All forward targets ride ONE vmapped dispatch + one batched fetch (the
+    reference loops ~20 targets; each loop was a device round trip)."""
     targets: list[int] = []
     for t in m.best_covisible(kf, 10):
         t = int(t)
@@ -345,15 +373,62 @@ def search_in_neighbors(m: MapState, kf: int, cfg: SlamConfig) -> int:
     own = np.unique(mp_kf[mp_kf >= 0])
     own = own[m.mp_valid[own]]
     n_fused = 0
+
+    # Forward: the new KF's points into each target (batched over targets).
+    fwd = []
     for t in targets:
-        if len(own):
-            # Skip points the target already observes (pMP->IsInKeyFrame(pKF)
-            # in ORBmatcher::Fuse): fusing one of those into a second feature
-            # slot would double-bind the (KF, point) pair.
-            row = m.kf_feat_mp[t]
-            own_t = own[~np.isin(own, row[row >= 0])]
-            if len(own_t):
-                n_fused += _fuse_into_kf(m, t, own_t, cfg)
+        if len(own) == 0:
+            break
+        # Skip points the target already observes (pMP->IsInKeyFrame(pKF)
+        # in ORBmatcher::Fuse): fusing one of those into a second feature
+        # slot would double-bind the (KF, point) pair.
+        row = m.kf_feat_mp[t]
+        own_t = own[~np.isin(own, row[row >= 0])]
+        if len(own_t):
+            fwd.append((t, own_t))
+    if fwd:
+        cap = 1 << max(
+            6, int(np.ceil(np.log2(max(max(len(c) for _, c in fwd), 1))))
+        )
+        # Bucket the target axis to a power of two (pad rows match nothing)
+        # so the whole run compiles a handful of (B, cap) shapes.
+        B = 1 << max(3, int(np.ceil(np.log2(len(fwd)))))
+        cand_b = np.zeros((B, cap), np.int64)
+        cvalid = np.zeros((B, cap), bool)
+        for j, (t, c) in enumerate(fwd):
+            cand_b[j, : len(c)] = c
+            cvalid[j, : len(c)] = m.mp_valid[c]
+        tgt = np.asarray(
+            ([t for t, _ in fwd] + [fwd[0][0]] * B)[:B]
+        )
+        idx_b = jax.device_get(
+            jax.vmap(
+                lambda T, pos, desc, lvl, mind, maxd, nrm, val, fuv, fur,
+                flvl, fdesc, fval: _fuse_match_kernel(
+                    cfg.camera, T, pos, desc, lvl, mind, maxd, nrm, val,
+                    fuv, fur, flvl, fdesc, fval,
+                    cfg.orb.scale, cfg.orb.levels,
+                )
+            )(
+                jnp.asarray(m.kf_pose[tgt]),
+                jnp.asarray(m.mp_pos[cand_b] * cvalid[..., None]),
+                jnp.asarray(m.mp_desc[cand_b] * cvalid[..., None]),
+                jnp.asarray(m.mp_level[cand_b] * cvalid),
+                jnp.asarray(m.mp_min_dist[cand_b] * cvalid),
+                jnp.asarray(
+                    np.where(cvalid, m.mp_max_dist[cand_b], 1e9)
+                ),
+                jnp.asarray(m.mp_normal[cand_b] * cvalid[..., None]),
+                jnp.asarray(cvalid),
+                jnp.asarray(m.kf_uv[tgt]),
+                jnp.asarray(m.kf_ur[tgt]),
+                jnp.asarray(m.kf_level[tgt]),
+                jnp.asarray(m.kf_desc[tgt]),
+                jnp.asarray(m.kf_feat_valid[tgt]),
+            )
+        )
+        for j, (t, c) in enumerate(fwd):
+            n_fused += _apply_fuse(m, t, cand_b[j], idx_b[j][: cap])
 
     # Reverse direction: candidates from all targets not yet seen by kf.
     cand = m.kf_feat_mp[np.asarray(targets)].reshape(-1)

@@ -274,6 +274,10 @@ class LoopCloser:
     def correct_loop(self, kf: int, loop_kf: int, Scw: Sim3, loop_mp_ids,
                      proj_idx):
         sys_, m = self.sys, self.sys.map
+        # InterruptBA (LoopClosing.cc:404-418 RequestStop + mbAbortBA): the
+        # in-flight local BA was solved against pre-correction poses —
+        # discard it rather than let it clobber the corrected map.
+        sys_._interrupt_ba()
         cfg = sys_.cfg
         K = m.n_kf
 

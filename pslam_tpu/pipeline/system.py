@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pslam_tpu.models.map_state import MapState
+from pslam_tpu.pipeline import frame_step as fstep
 from pslam_tpu.pipeline import line_mapping, local_mapping
 from pslam_tpu.pipeline.frame_ops import (
     FrameData,
@@ -26,13 +27,8 @@ from pslam_tpu.pipeline.frame_ops import (
     make_frame,
     make_frame_lines,
 )
-from pslam_tpu.pipeline.track_ops import (
-    PointSet,
-    track_against_points,
-    track_local_map_step,
-)
+from pslam_tpu.pipeline.track_ops import PointSet
 from pslam_tpu.solver.ba_lil import local_bundle_adjustment_lil
-from pslam_tpu.solver.lil import LILPoseObs
 from pslam_tpu.solver.local_ba import local_bundle_adjustment
 from pslam_tpu.utils.config import SlamConfig
 
@@ -47,20 +43,25 @@ class TrackState(enum.Enum):
 
 @dataclasses.dataclass
 class HostFrame:
-    """Host copy of a processed frame + its tracking results."""
+    """Host copy of a processed frame + its tracking results.
+
+    On the fused tracking path only (frame_id, timestamp, T_cw) are
+    populated per frame; the feature arrays are fetched from the device
+    lazily, at keyframe insertion (VERDICT r3 item 2: fetch only the small
+    results per frame)."""
 
     frame_id: int
     timestamp: float
     T_cw: np.ndarray  # (4, 4)
-    uv: np.ndarray
-    ur: np.ndarray
-    depth: np.ndarray
-    xyz_c: np.ndarray
-    level: np.ndarray
-    angle: np.ndarray
-    desc: np.ndarray
-    valid: np.ndarray
-    feat_mp: np.ndarray  # map point id per feature, -1 = none
+    uv: np.ndarray | None = None
+    ur: np.ndarray | None = None
+    depth: np.ndarray | None = None
+    xyz_c: np.ndarray | None = None
+    level: np.ndarray | None = None
+    angle: np.ndarray | None = None
+    desc: np.ndarray | None = None
+    valid: np.ndarray | None = None
+    feat_mp: np.ndarray | None = None  # map point id per feature, -1 = none
     # Line features (present when cfg.use_lines).
     line_sp: np.ndarray | None = None
     line_ep: np.ndarray | None = None
@@ -90,6 +91,20 @@ class SlamSystem:
         # row frozen to an absolute pose (pre-reset history).
         self.trajectory: list[tuple[float, np.ndarray, int]] = []
         self.stats = {"ba_runs": 0, "culled": 0, "kf_inserted": 0}
+        # Device-resident tracking snapshot + accumulators (frame_step.py)
+        # and the in-flight (async-dispatched) local BA.
+        self._snap = None
+        self._acc = None
+        self._snap_pt_ids = np.zeros(0, np.int64)
+        self._snap_ml_ids = np.zeros(0, np.int64)
+        self._snap_il_ids = np.zeros(0, np.int64)
+        self._pending_ba = None
+        # Localization-only mode (System::ActivateLocalizationMode,
+        # System.cc:270-283): backend frozen, tracking against the frozen
+        # map; _vo_mode mirrors mbVO (Tracking.cc:304-411) — few map
+        # inliers while only-tracking => try relocalization opportunistically.
+        self.localization_only = False
+        self._vo_mode = False
         # Place recognition DB (System.cc:61-82: vocabulary + KeyFrameDatabase;
         # trained at startup instead of parsing ORBvoc.txt for minutes).
         self.kf_db = None
@@ -120,31 +135,41 @@ class SlamSystem:
         cam, orb = self.cfg.camera, self.cfg.orb
         gray_d = jnp.asarray(gray, jnp.float32)
         depth_d = jnp.asarray(depth, jnp.float32)
-        fd: FrameData = make_frame(gray_d, depth_d, cam, orb)
-        hf = self._to_host(fd, timestamp)
-        if self.cfg.use_lines:
-            fl: FrameLineData = make_frame_lines(
-                gray_d, depth_d, cam, self.cfg.lines, self.cfg.caps.frame_lils
-            )
-            self._lines_to_host(hf, fl)
 
-        if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
-            self._initialize(hf, fd)
-        elif self.state == TrackState.LOST:
-            # Relocalization, or hard reset while the map is still tiny
-            # (Tracking.cc:327, 518-526; System::Reset, System.cc:294).
-            from pslam_tpu.pipeline.relocalization import relocalize
-
-            if self.map.n_kf <= self.cfg.tracking.reset_if_lost_with_kfs:
-                self.reset()
-                self._initialize(hf, fd)
-            elif relocalize(self, hf, fd):
-                self.state = TrackState.OK
-                self.velocity = np.eye(4, dtype=np.float32)
-            else:
-                hf.T_cw = self.last.T_cw.copy()
+        if self.state == TrackState.OK:
+            hf = self._track_fused(gray_d, depth_d, timestamp)
         else:
-            self._track(hf, fd)
+            fd: FrameData = make_frame(gray_d, depth_d, cam, orb)
+            hf = self._to_host(fd, timestamp)
+            if self.cfg.use_lines:
+                fl: FrameLineData = make_frame_lines(
+                    gray_d, depth_d, cam, self.cfg.lines,
+                    self.cfg.caps.frame_lils,
+                )
+                self._lines_to_host(hf, fl)
+            if self.state in (
+                TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED
+            ):
+                self._initialize(hf, fd)
+                self._invalidate_snapshot(fold=False)
+            else:  # LOST: relocalization, or hard reset on a tiny map
+                # (Tracking.cc:327, 518-526; System::Reset, System.cc:294).
+                from pslam_tpu.pipeline.relocalization import relocalize
+
+                if (
+                    not self.localization_only
+                    and self.map.n_kf
+                    <= self.cfg.tracking.reset_if_lost_with_kfs
+                ):
+                    self.reset()
+                    self._initialize(hf, fd)
+                    self._invalidate_snapshot(fold=False)
+                elif relocalize(self, hf, fd):
+                    self.state = TrackState.OK
+                    self.velocity = np.eye(4, dtype=np.float32)
+                    self._invalidate_snapshot()
+                elif self.last is not None:
+                    hf.T_cw = self.last.T_cw.copy()
 
         self.last = hf
         self.frame_id += 1
@@ -160,31 +185,35 @@ class SlamSystem:
     # ------------------------------------------------------------------
 
     def _to_host(self, fd: FrameData, timestamp) -> HostFrame:
+        # One batched device_get (1 relay round trip) instead of 8 fetches.
+        uv, ur, depth, xyz_c, level, angle, desc, valid = jax.device_get(
+            (fd.uv, fd.ur, fd.depth, fd.xyz_c, fd.level, fd.angle, fd.desc,
+             fd.valid)
+        )
         return HostFrame(
             frame_id=self.frame_id,
             timestamp=float(timestamp),
             T_cw=np.eye(4, dtype=np.float32),
-            uv=np.asarray(fd.uv),
-            ur=np.asarray(fd.ur),
-            depth=np.asarray(fd.depth),
-            xyz_c=np.asarray(fd.xyz_c),
-            level=np.asarray(fd.level),
-            angle=np.asarray(fd.angle),
-            desc=np.asarray(fd.desc),
-            valid=np.asarray(fd.valid),
+            uv=uv,
+            ur=ur,
+            depth=depth,
+            xyz_c=xyz_c,
+            level=level,
+            angle=angle,
+            desc=desc,
+            valid=valid,
             feat_mp=np.full(fd.uv.shape[0], -1, np.int32),
         )
 
     def _lines_to_host(self, hf: HostFrame, fl: FrameLineData):
-        hf.line_sp = np.asarray(fl.sp)
-        hf.line_ep = np.asarray(fl.ep)
-        hf.line_desc = np.asarray(fl.desc)
-        hf.line_valid = np.asarray(fl.valid)
-        hf.line_p3s = np.asarray(fl.p3s)
-        hf.line_p3e = np.asarray(fl.p3e)
-        hf.line_ok3d = np.asarray(fl.ok3d)
+        (
+            hf.line_sp, hf.line_ep, hf.line_desc, hf.line_valid,
+            hf.line_p3s, hf.line_p3e, hf.line_ok3d,
+        ) = jax.device_get(
+            (fl.sp, fl.ep, fl.desc, fl.valid, fl.p3s, fl.p3e, fl.ok3d)
+        )
         hf.line_ml = np.full(len(hf.line_valid), -1, np.int32)
-        hf.lil = fl.lil
+        hf.lil = jax.device_get(fl.lil)
         hf.lil_il = np.full(self.cfg.caps.frame_lils, -1, np.int32)
 
     def _initialize(self, hf: HostFrame, fd: FrameData):
@@ -216,195 +245,214 @@ class SlamSystem:
 
     # ------------------------------------------------------------------
 
-    def _track(self, hf: HostFrame, fd: FrameData):
-        cfg_t = self.cfg.tracking
-        cam, orb = self.cfg.camera, self.cfg.orb
-        T_pred = (self.velocity @ self.last.T_cw).astype(np.float32)
-
-        # --- 1. motion-model tracking vs last frame's map points ----------
-        prev_mp = self.last.feat_mp
-        prev_sel = np.flatnonzero(prev_mp >= 0)
-        pts_prev = self._point_set(prev_mp[prev_sel], cap=len(prev_mp))
-        res = track_against_points(
-            cam, jnp.asarray(T_pred), pts_prev, fd, cfg_t.motion_match_radius,
-            orb.scale, orb.levels,
+    def _track_fused(self, gray_d, depth_d, timestamp: float) -> HostFrame:
+        """The per-frame hot path: ONE fused device dispatch against the
+        device-resident snapshot + one 24-float fetch (frame_step.py).
+        Falls back to the widened window (Tracking.cc:1198-1203) and then
+        the un-windowed reference-KF search (TrackReferenceKeyFrame,
+        Tracking.cc:880) when inliers are scarce."""
+        cfg = self.cfg
+        cfg_t = cfg.tracking
+        if self._snap is None:
+            self._rebuild_snapshot()
+        T_prev = jnp.asarray(self.last.T_cw)
+        vel = jnp.asarray(self.velocity)
+        out = fstep.frame_step(
+            cfg, gray_d, depth_d, T_prev, vel,
+            cfg_t.motion_match_radius, self._snap, self._acc,
         )
-        if int(res.n_inliers) < cfg_t.min_track_inliers:
-            # Widen the window (Tracking.cc:1198-1203), then fall back to
-            # tracking against the reference KF's points.
-            res = track_against_points(
-                cam, jnp.asarray(T_pred), pts_prev, fd,
-                cfg_t.motion_match_radius_wide, orb.scale, orb.levels,
+        summary = np.asarray(out.summary)
+        # Retry gate: the reference demands >= 30 TrackLocalMap inliers
+        # before trusting a pose (Tracking.cc:1400-1406); below that, retry
+        # with the widened window (Tracking.cc:1198-1203) and then the
+        # un-windowed reference-KF search before conceding.
+        retry_th = max(cfg_t.min_local_inliers, cfg_t.min_track_inliers)
+        if summary[fstep.S_INLIERS] < retry_th:
+            # Same compiled program, widened motion window.
+            out2 = fstep.frame_step(
+                cfg, gray_d, depth_d, T_prev, vel,
+                cfg_t.motion_match_radius_wide, self._snap, self._acc,
             )
-        if int(res.n_inliers) < cfg_t.min_track_inliers:
-            # Reference-KF fallback: un-windowed descriptor matching
-            # (TrackReferenceKeyFrame / SearchByBoW, Tracking.cc:880) —
-            # recovers from motion far outside any projection window.
-            from pslam_tpu.pipeline.track_ops import (
-                track_against_points_unwindowed,
-            )
+            s2 = np.asarray(out2.summary)
+            if s2[fstep.S_INLIERS] > summary[fstep.S_INLIERS]:
+                out, summary = out2, s2
+        if summary[fstep.S_INLIERS] < retry_th:
+            fb = self._fallback_ref_kf(gray_d, depth_d, out)
+            if fb is not None and (
+                np.asarray(fb[1])[fstep.S_INLIERS]
+                > summary[fstep.S_INLIERS]
+            ):
+                out, summary = fb
 
-            ref_mp = self.map.kf_feat_mp[self.ref_kf]
-            ref_sel = ref_mp[ref_mp >= 0]
-            pts_ref = self._point_set(ref_sel, cap=len(prev_mp))
-            res = track_against_points_unwindowed(
-                cam, jnp.asarray(self.last.T_cw), pts_ref, fd,
-                orb.scale, orb.levels,
-            )
-            prev_sel = np.arange(len(ref_sel))
-            track_ids = np.full(len(prev_mp), -1, np.int32)
-            track_ids[: len(ref_sel)] = ref_sel
-        else:
-            track_ids = np.full(len(prev_mp), -1, np.int32)
-            track_ids[: len(prev_sel)] = prev_mp[prev_sel]
-
-        # Per-feature map-point assignment from the first solve.
-        match_point = np.asarray(res.match_point)
-        inlier = np.asarray(res.inlier)
-
-        # --- 2. local-map tracking ---------------------------------------
-        local_kfs = self._local_keyframes()
-        pt_ids = self.map.local_map_points(local_kfs, self.cfg.caps.local_points)
-        local_set = self._point_set(pt_ids, cap=self.cfg.caps.local_points)
-        # Prior matches: feature index per local point where the first solve
-        # already matched that point.
-        prior = np.full(self.cfg.caps.local_points, -1, np.int32)
-        if len(pt_ids):
-            slot_of_mp = {int(m): i for i, m in enumerate(pt_ids)}
-            for p_slot, f_idx in zip(np.flatnonzero(match_point >= 0),
-                                     match_point[match_point >= 0]):
-                mp_id = track_ids[p_slot]
-                if mp_id >= 0 and int(mp_id) in slot_of_mp and inlier[p_slot]:
-                    prior[slot_of_mp[int(mp_id)]] = f_idx
-
-        # --- structural lines: plane association + LIL pose terms ---------
-        lil_obs = None
-        if self.cfg.use_lines and hf.lil is not None:
-            if self.cfg.use_lils:
-                lil_obs = self._associate_lils(hf, np.asarray(res.T_cw))
-            self._track_lines_f2f(hf)
-
-        res2 = track_local_map_step(
-            cam, res.T_cw, local_set, fd, jnp.asarray(prior),
-            cfg_t.local_match_radius, orb.scale, orb.levels,
-            lil=lil_obs,
+        hf = HostFrame(
+            frame_id=self.frame_id,
+            timestamp=float(timestamp),
+            T_cw=np.asarray(
+                summary[fstep.S_T], np.float32
+            ).reshape(4, 4).copy(),
         )
-        hf.T_cw = np.asarray(res2.T_cw)
-
-        # Local-map line search (SearchLocalLines, Tracking.cc:1754-1838):
-        # recover map-line associations lost by the f2f chain.
-        if self.cfg.use_lines and hf.line_valid is not None:
-            line_mapping.track_local_map_lines(self, hf, hf.T_cw)
-
-        # --- 3. bookkeeping ----------------------------------------------
-        m2 = np.asarray(res2.match_point)
-        in2 = np.asarray(res2.inlier)
-        vis2 = np.asarray(res2.visible)
-        if len(pt_ids):
-            np.add.at(self.map.mp_visible, pt_ids[vis2[: len(pt_ids)]], 1)
-            good = (m2[: len(pt_ids)] >= 0) & in2[: len(pt_ids)]
-            np.add.at(self.map.mp_found, pt_ids[good], 1)
-            hf.feat_mp[m2[: len(pt_ids)][good]] = pt_ids[good]
-
-        n_inliers = int(res2.n_inliers)
+        self._acc = out.acc
+        n_inliers = int(summary[fstep.S_INLIERS])
         if n_inliers < cfg_t.min_track_inliers:
             self.state = TrackState.LOST
             self.velocity = np.eye(4, dtype=np.float32)
-        else:
-            self.state = TrackState.OK
-            self.velocity = (hf.T_cw @ np.linalg.inv(self.last.T_cw)).astype(
-                np.float32
-            )
-            if self._need_new_keyframe(hf, n_inliers):
-                self._create_keyframe(hf)
+            hf.T_cw = self.last.T_cw.copy()
+            return hf
+
+        self.state = TrackState.OK
+        self.velocity = (hf.T_cw @ np.linalg.inv(self.last.T_cw)).astype(
+            np.float32
+        )
+        if self.localization_only:
+            # mbVO accounting (Tracking.cc:1049): few map inliers while
+            # only-tracking means the map has drifted out of view; flag VO
+            # mode so the caller/metrics can see it. KF insertion and every
+            # backend stage stay frozen (System.cc:270-283).
+            self._vo_mode = n_inliers < 20
+        elif self._need_new_keyframe(hf, summary):
+            self._materialize_host_frame(hf, out)
+            self._create_keyframe(hf)
+            self._rebuild_snapshot()
+        return hf
+
+    def _fallback_ref_kf(self, gray_d, depth_d, out):
+        """Un-windowed descriptor matching against the reference KF's points
+        (TrackReferenceKeyFrame / SearchByBoW, Tracking.cc:880): recovers
+        motion far outside any projection window, then re-runs the fused
+        step with the recovered pose as prior. Returns (out, summary) or
+        None."""
+        from pslam_tpu.pipeline.track_ops import (
+            track_against_points_unwindowed,
+        )
+
+        cfg = self.cfg
+        ref_mp = self.map.kf_feat_mp[self.ref_kf]
+        ref_sel = ref_mp[ref_mp >= 0]
+        pts_ref = self._point_set(ref_sel, cap=cfg.orb.capacity)
+        res = track_against_points_unwindowed(
+            cfg.camera, jnp.asarray(self.last.T_cw), pts_ref, out.fd,
+            cfg.orb.scale, cfg.orb.levels,
+        )
+        if int(res.n_inliers) < cfg.tracking.min_track_inliers:
+            return None
+        T_fb = np.asarray(res.T_cw)
+        vel_fb = (T_fb @ np.linalg.inv(self.last.T_cw)).astype(np.float32)
+        out2 = fstep.frame_step(
+            cfg, gray_d, depth_d, jnp.asarray(self.last.T_cw),
+            jnp.asarray(vel_fb), cfg.tracking.motion_match_radius,
+            self._snap, self._acc,
+        )
+        return out2, np.asarray(out2.summary)
+
+    def _materialize_host_frame(self, hf: HostFrame, out):
+        """Fetch the frame's feature arrays + associations from the device
+        in ONE batched transfer (keyframe insertion only — Frame arrays
+        never cross to the host on ordinary frames)."""
+        fd = out.fd
+        use_lines = self.cfg.use_lines and out.fl is not None
+        pack = [fd.uv, fd.ur, fd.depth, fd.xyz_c, fd.level, fd.angle,
+                fd.desc, fd.valid, out.match_point, out.inlier]
+        if use_lines:
+            fl = out.fl
+            pack += [fl.sp, fl.ep, fl.desc, fl.valid, fl.p3s, fl.p3e,
+                     fl.ok3d, out.line_match, out.lil_match]
+        got = jax.device_get(tuple(pack))
+        (hf.uv, hf.ur, hf.depth, hf.xyz_c, hf.level, hf.angle, hf.desc,
+         hf.valid, mp, inl) = got[:10]
+        hf.feat_mp = np.full(len(hf.valid), -1, np.int32)
+        n = len(self._snap_pt_ids)
+        good = (mp[:n] >= 0) & inl[:n]
+        hf.feat_mp[mp[:n][good]] = self._snap_pt_ids[good]
+        if use_lines:
+            (hf.line_sp, hf.line_ep, hf.line_desc, hf.line_valid,
+             hf.line_p3s, hf.line_p3e, hf.line_ok3d, lm, qm) = got[10:]
+            hf.line_ml = np.full(len(hf.line_valid), -1, np.int32)
+            # Host mirror of the LIL features (the line_mapping bookkeeping
+            # reads every field; one batched fetch beats ~11 leaf fetches).
+            hf.lil = jax.device_get(fl.lil)
+            hf.lil_il = np.full(self.cfg.caps.frame_lils, -1, np.int32)
+            nl = len(self._snap_ml_ids)
+            src = np.flatnonzero(lm[:nl] >= 0)
+            hf.line_ml[lm[:nl][src]] = self._snap_ml_ids[src]
+            if self.cfg.use_lils:
+                nq = len(self._snap_il_ids)
+                ok = (qm >= 0) & (qm < nq)
+                hf.lil_il[ok] = self._snap_il_ids[qm[ok]]
+
+    def _need_new_keyframe(self, hf: HostFrame, summary) -> bool:
+        """NeedNewKeyFrame (Tracking.cc:1410-1515), RGB-D branch, computed
+        from the device summary counts."""
+        t = self.cfg.tracking
+        frames_since_kf = hf.frame_id - int(
+            self.map.kf_frame_id[self.map.last_kf]
+        )
+        ref_tracked = int((self.map.kf_feat_mp[self.ref_kf] >= 0).sum())
+        n_inliers = int(summary[fstep.S_INLIERS])
+        tracked_close = int(summary[fstep.S_TRACKED_CLOSE])
+        untracked_close = int(summary[fstep.S_UNTRACKED_CLOSE])
+        # Close points tracked vs close points available (Tracking.cc:1452).
+        need_close = (tracked_close < 100) and (untracked_close > 70)
+
+        c1 = frames_since_kf >= t.kf_max_interval
+        c2 = n_inliers < ref_tracked * t.kf_min_inlier_ratio or need_close
+        c3 = n_inliers > 15
+        return (c1 or c2) and c3 and frames_since_kf >= t.kf_min_interval
 
     # ------------------------------------------------------------------
+    # Snapshot lifecycle
 
-    def _associate_lils(self, hf: HostFrame, T_pred) -> LILPoseObs | None:
-        """Plane-associate frame LILs with map InsectLines and build the
-        fixed-capacity LIL pose-observation set (Tracking.cc:1196-1209 via
-        Map::AssociatePlanesByBoundary)."""
-        lil = hf.lil
-        state_c = np.concatenate(
-            [
-                np.asarray(lil.p1s), np.asarray(lil.p1e),
-                np.asarray(lil.p2s), np.asarray(lil.p2e),
-                np.asarray(lil.cross3d),
-            ],
-            axis=-1,
-        ).astype(np.float32)
-        hf.lil_il = line_mapping.associate_planes(
-            self.map, state_c, np.asarray(lil.plane), np.asarray(lil.valid),
-            T_pred, self.cfg,
-        )
-        matched = hf.lil_il >= 0
-        if not matched.any():
-            return None
-        QF = self.cfg.caps.frame_lils
-        state = np.zeros((QF, 15), np.float32)
-        state[matched] = self.map.il_state[hf.lil_il[matched]]
-        obs = line_mapping.lil_obs8(lil)
-        return LILPoseObs(
-            state=jnp.asarray(state),
-            obs=jnp.asarray(obs),
-            valid=jnp.asarray(matched),
-        )
+    def _rebuild_snapshot(self):
+        """Upload a fresh tracker view of the map (keyframe events only)."""
+        self._fold_acc()
+        cfg = self.cfg
+        m = self.map
+        local_kfs = self._local_keyframes()
+        pt_ids = m.local_map_points(local_kfs, cfg.caps.local_points)
+        ml_ids = np.zeros(0, np.int64)
+        il_ids = np.zeros(0, np.int64)
+        if cfg.use_lines:
+            ml_ids = line_mapping.local_map_lines(
+                m, local_kfs, cfg.caps.local_lines
+            )
+            if cfg.use_lils:
+                il_ids = np.flatnonzero(m.il_valid)[: cfg.caps.local_lils]
+        self._snap = fstep.build_snapshot(m, cfg, pt_ids, ml_ids, il_ids)
+        self._snap_pt_ids = np.asarray(pt_ids, np.int64)
+        self._snap_ml_ids = np.asarray(ml_ids, np.int64)
+        self._snap_il_ids = np.asarray(il_ids, np.int64)
+        self._acc = fstep.make_acc(cfg)
 
-    def _track_lines_f2f(self, hf: HostFrame):
-        """Inherit map-line associations from the previous frame
-        (LSDmatcher::SearchByGeomNApearance bookkeeping, LSDmatcher.cpp:36)."""
-        last = self.last
-        if last is None or last.line_ml is None or not (last.line_ml >= 0).any():
+    def _fold_acc(self):
+        """Fold the device found/visible accumulators into the host map
+        (must run BEFORE any landmark mutation, while the snapshot ids are
+        still live)."""
+        if self._acc is None or self._snap is None:
             return
-        from pslam_tpu.ops.line_match import match_lines_f2f
+        a = jax.device_get(self._acc)
+        m = self.map
+        n = len(self._snap_pt_ids)
+        if n:
+            np.add.at(m.mp_visible, self._snap_pt_ids, a.pt_vis[:n])
+            np.add.at(m.mp_found, self._snap_pt_ids, a.pt_found[:n])
+        nl = len(self._snap_ml_ids)
+        if nl:
+            np.add.at(m.ml_visible, self._snap_ml_ids, a.ml_vis[:nl])
+            np.add.at(m.ml_found, self._snap_ml_ids, a.ml_found[:nl])
+        nq = len(self._snap_il_ids)
+        if nq:
+            # AddFrameObservation (Map.cc:268 -> insectline.cc:39-43).
+            np.add.at(m.il_frame_obs, self._snap_il_ids, a.il_obs[:nq])
+        self._acc = None
 
-        idx, _ = match_lines_f2f(
-            jnp.asarray(last.line_desc), jnp.asarray(last.line_sp),
-            jnp.asarray(last.line_ep), jnp.asarray(last.line_valid),
-            jnp.asarray(hf.line_desc), jnp.asarray(hf.line_sp),
-            jnp.asarray(hf.line_ep), jnp.asarray(hf.line_valid),
-            float(self.cfg.camera.width), float(self.cfg.camera.height),
-        )
-        idx = np.asarray(idx)
-        src = np.flatnonzero((idx >= 0) & (last.line_ml >= 0))
-        hf.line_ml[idx[src]] = last.line_ml[src]
-        ml = last.line_ml[src]
-        np.add.at(self.map.ml_visible, ml, 1)
-        np.add.at(self.map.ml_found, ml, 1)
+    def _invalidate_snapshot(self, fold: bool = True):
+        if fold:
+            self._fold_acc()
+        self._snap = None
+        self._acc = None
 
     def _point_set(self, mp_ids, cap: int) -> PointSet:
         """Gather a device PointSet snapshot for the given map-point ids."""
-        m = self.map
-        mp_ids = np.asarray(mp_ids, np.int64)
-        n = min(len(mp_ids), cap)
-        mp_ids = mp_ids[:n]
-        pos = np.zeros((cap, 3), np.float32)
-        desc = np.zeros((cap, 32), np.uint8)
-        level = np.zeros(cap, np.int32)
-        angle = np.zeros(cap, np.float32)
-        mind = np.zeros(cap, np.float32)
-        maxd = np.full(cap, 1e9, np.float32)
-        normal = np.zeros((cap, 3), np.float32)
-        valid = np.zeros(cap, bool)
-        if n:
-            pos[:n] = m.mp_pos[mp_ids]
-            desc[:n] = m.mp_desc[mp_ids]
-            mind[:n] = m.mp_min_dist[mp_ids]
-            maxd[:n] = m.mp_max_dist[mp_ids]
-            normal[:n] = m.mp_normal[mp_ids]
-            valid[:n] = m.mp_valid[mp_ids]
-            level[:n] = m.mp_level[mp_ids]
-            angle[:n] = m.mp_angle[mp_ids]
-        return PointSet(
-            pos=jnp.asarray(pos),
-            desc=jnp.asarray(desc),
-            level=jnp.asarray(level),
-            angle=jnp.asarray(angle),
-            min_dist=jnp.asarray(mind),
-            max_dist=jnp.asarray(maxd),
-            normal=jnp.asarray(normal),
-            valid=jnp.asarray(valid),
-        )
+        return fstep.build_point_set(self.map, np.asarray(mp_ids, np.int64), cap)
 
     def _local_keyframes(self):
         """Reference KF + best covisible neighbours (UpdateLocalKeyFrames,
@@ -414,27 +462,16 @@ class SlamSystem:
         ids = np.unique(np.concatenate([[base], covis]))
         return ids
 
-    def _need_new_keyframe(self, hf: HostFrame, n_inliers: int) -> bool:
-        """NeedNewKeyFrame (Tracking.cc:1410-1515), RGB-D branch."""
-        t = self.cfg.tracking
-        frames_since_kf = hf.frame_id - int(
-            self.map.kf_frame_id[self.map.last_kf]
-        )
-        ref_tracked = int((self.map.kf_feat_mp[self.ref_kf] >= 0).sum())
-        # Close points tracked vs. close points availables (Tracking.cc:1452).
-        close = (hf.depth > 0) & (hf.depth < self.cfg.th_depth) & hf.valid
-        tracked_close = int(((hf.feat_mp >= 0) & close).sum())
-        untracked_close = int(((hf.feat_mp < 0) & close).sum())
-        need_close = (tracked_close < 100) and (untracked_close > 70)
-
-        c1 = frames_since_kf >= t.kf_max_interval
-        c2 = n_inliers < ref_tracked * t.kf_min_inlier_ratio or need_close
-        c3 = n_inliers > 15
-        return (c1 or c2) and c3 and frames_since_kf >= t.kf_min_interval
-
     def _create_keyframe(self, hf: HostFrame):
         """CreateNewKeyFrame (Tracking.cc:1516-1605): insert KF, create new
         map points from depth for unmatched close features, run the backend."""
+        # Commit the previous keyframe's (still in-flight) local BA before
+        # touching the map (the tracker consumed the pre-BA snapshot in the
+        # meantime — SURVEY §7.2 async dispatch replacing the LocalMapping
+        # thread, System.cc:86-113).
+        self._fold_acc()
+        self._commit_pending_ba()
+        self._evict_for_capacity()
         kf = self.map.add_keyframe(
             hf.frame_id, hf.timestamp, hf.T_cw, hf.uv, hf.ur, hf.level, hf.angle,
             hf.desc, hf.valid, hf.depth, hf.feat_mp,
@@ -463,6 +500,9 @@ class SlamSystem:
             line_mapping.create_or_attach_lines(self.map, kf, hf, hf.T_cw)
             if self.cfg.use_lils:
                 line_mapping.create_or_attach_lils(self.map, kf, hf, hf.T_cw)
+                self.stats["lils_culled"] = self.stats.get(
+                    "lils_culled", 0
+                ) + line_mapping.cull_lils_by_quality(self.map, self.cfg)
             self.stats["culled"] += line_mapping.cull_lines(self.map, self.cfg)
 
         # Backend (LocalMapping::Run order, LocalMapping.cc:47-120): point
@@ -495,6 +535,39 @@ class SlamSystem:
         # poll its queue; here it runs synchronously after local BA).
         if self.loop_closer is not None:
             self.loop_closer.on_new_keyframe(kf)
+
+    def _evict_for_capacity(self):
+        """Graceful keyframe-capacity handling (VERDICT r3 item 5): when the
+        KF table is full and the redundancy-based culling could not keep up
+        (e.g. a low-motion corridor), evict the most covisibility-redundant
+        unprotected keyframe — with full bookkeeping (trajectory retarget,
+        BoW erase) — instead of crashing."""
+        m = self.map
+        if m.n_kf < m.kf_valid.shape[0]:
+            return
+        if (~m.kf_valid[: m.n_kf]).any():
+            return
+        protect = {0, self.ref_kf, int(m.last_kf)}
+        if self.loop_closer is not None:
+            for a, b in self.loop_closer.loop_edges:
+                protect.add(a)
+                protect.add(b)
+        live = np.asarray(
+            [k for k in np.flatnonzero(m.kf_valid) if k not in protect]
+        )
+        if len(live) == 0:
+            return
+        victim = int(live[np.argmax(m.covis[live, : m.n_kf].max(axis=1))])
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "keyframe capacity full: evicting most-redundant KF %d", victim
+        )
+        self._retarget_trajectory(victim)
+        if self.kf_db is not None:
+            self.kf_db.erase(victim)
+        m.erase_keyframe(victim)
+        self.stats["kf_evicted"] = self.stats.get("kf_evicted", 0) + 1
 
     def _cull_keyframes(self, kf: int):
         """KeyFrameCulling + the bookkeeping the map can't do itself:
@@ -543,6 +616,12 @@ class SlamSystem:
         ]
 
     def _run_local_ba(self, kf_idx: int):
+        """Dispatch the local BA solve to the device WITHOUT blocking (the
+        reference overlaps LocalMapping's BA with tracking on a thread,
+        System.cc:86-113; here JAX async dispatch provides the overlap).
+        The result is committed at the next keyframe event
+        (_commit_pending_ba); a loop correction discards it instead
+        (_interrupt_ba == mbAbortBA, LocalMapping.cc:984-986)."""
         if self.map.n_kf < 3:
             return
         out = local_mapping.assemble_local_ba(self.map, kf_idx, self.cfg)
@@ -555,25 +634,30 @@ class SlamSystem:
             lil_pack = line_mapping.assemble_lil_edges(self.map, cam_ids, self.cfg)
         if lil_pack is not None:
             lil_state, lil_valid, ledges, il_ids = lil_pack
-            T_opt, X_opt, lil_opt, in_p, in_l = local_bundle_adjustment_lil(
-                self.cfg.camera, prob, jnp.asarray(lil_state),
-                jnp.asarray(lil_valid), ledges, self.cfg.caps.ba_free,
-            )
+            if self.cfg.distributed and len(jax.devices()) > 1:
+                # Edge-sharded composite-error BA (VERDICT r3 item 4): the
+                # flagship LIL solve rides the same mesh as the point BA.
+                from pslam_tpu.parallel.sharded_ba import (
+                    make_ba_mesh,
+                    sharded_local_bundle_adjustment_lil,
+                )
+
+                T_opt, X_opt, lil_opt, in_p, in_l = (
+                    sharded_local_bundle_adjustment_lil(
+                        self.cfg.camera, prob, jnp.asarray(lil_state),
+                        jnp.asarray(lil_valid), ledges,
+                        self.cfg.caps.ba_free, make_ba_mesh(),
+                    )
+                )
+            else:
+                T_opt, X_opt, lil_opt, in_p, in_l = (
+                    local_bundle_adjustment_lil(
+                        self.cfg.camera, prob, jnp.asarray(lil_state),
+                        jnp.asarray(lil_valid), ledges,
+                        self.cfg.caps.ba_free,
+                    )
+                )
             result = (T_opt, X_opt, in_p, None)
-            # Write back LIL structures + refresh plane offsets (d = -mean
-            # n.p; the rigid-translation update leaves n unchanged).
-            lil_opt = np.asarray(lil_opt)
-            sel = il_ids >= 0
-            ids = il_ids[sel]
-            st = lil_opt[sel]
-            self.map.il_state[ids] = st
-            n = self.map.il_plane[ids, :3]
-            pts = st.reshape(-1, 5, 3)
-            d = -np.einsum("qj,qpj->q", n, pts) / 5.0
-            flip = d < 0
-            pl = np.concatenate([np.where(flip[:, None], -n, n),
-                                 np.abs(d)[:, None]], axis=1)
-            self.map.il_plane[ids] = pl.astype(np.float32)
         elif self.cfg.distributed and len(jax.devices()) > 1:
             # Edge-sharded Schur assembly over the device mesh
             # (parallel/sharded_ba.py); caps.ba_edges is a power of two, so
@@ -586,15 +670,63 @@ class SlamSystem:
             result = sharded_local_bundle_adjustment(
                 self.cfg.camera, prob, self.cfg.caps.ba_free, make_ba_mesh()
             )
+            lil_opt = il_ids = None
         else:
             result = local_bundle_adjustment(
                 self.cfg.camera, prob, self.cfg.caps.ba_free
             )
+            lil_opt = il_ids = None
+        if lil_pack is None:
+            lil_opt = il_ids = None
+        self._pending_ba = {
+            "result": result,
+            "lil_opt": lil_opt,
+            "il_ids": il_ids,
+            "cam_ids": cam_ids,
+            "pt_ids": pt_ids,
+            "e_feat": e_feat,
+            "n_e": n_e,
+            "free_slot": np.asarray(prob.free_slot),
+        }
+
+    def _commit_pending_ba(self):
+        """Fetch + write back the in-flight local BA (if any)."""
+        p = self._pending_ba
+        if p is None:
+            return
+        self._pending_ba = None
+        # One batched transfer for the whole result.
+        p["result"], p["lil_opt"] = jax.device_get(
+            (p["result"], p["lil_opt"])
+        )
+        if p["lil_opt"] is not None:
+            # Write back LIL structures + refresh plane offsets (d = -mean
+            # n.p; the rigid-translation update leaves n unchanged).
+            lil_opt = np.asarray(p["lil_opt"])
+            il_ids = p["il_ids"]
+            sel = il_ids >= 0
+            ids = il_ids[sel]
+            alive = self.map.il_valid[ids]
+            ids, st = ids[alive], lil_opt[sel][alive]
+            self.map.il_state[ids] = st
+            n = self.map.il_plane[ids, :3]
+            pts = st.reshape(-1, 5, 3)
+            d = -np.einsum("qj,qpj->q", n, pts) / 5.0
+            flip = d < 0
+            pl = np.concatenate([np.where(flip[:, None], -n, n),
+                                 np.abs(d)[:, None]], axis=1)
+            self.map.il_plane[ids] = pl.astype(np.float32)
         local_mapping.write_back_ba(
-            self.map, result, cam_ids, pt_ids, e_feat, n_e,
-            np.asarray(prob.free_slot),
+            self.map, p["result"], p["cam_ids"], p["pt_ids"], p["e_feat"],
+            p["n_e"], p["free_slot"],
         )
         self.stats["ba_runs"] += 1
+
+    def _interrupt_ba(self):
+        """Discard the in-flight local BA (InterruptBA / mbAbortBA,
+        LocalMapping.cc:984-986): called by the loop closer right before a
+        correction rewrites the poses the solve was based on."""
+        self._pending_ba = None
 
     # ------------------------------------------------------------------
 
@@ -610,6 +742,8 @@ class SlamSystem:
         """System::Reset (System.cc:294) / Tracking::Reset (Tracking.cc:2195):
         clear map, database, trajectory bookkeeping keeps accumulating."""
         vocab = self.kf_db.vocab if self.kf_db is not None else None
+        self._pending_ba = None
+        self._invalidate_snapshot(fold=False)
         # Freeze prior rows to absolute poses — their reference KFs are about
         # to be destroyed with the map.
         self.trajectory = [
@@ -631,6 +765,29 @@ class SlamSystem:
         self.velocity = np.eye(4, dtype=np.float32)
         self.ref_kf = 0
         self.stats["resets"] = self.stats.get("resets", 0) + 1
+
+    def activate_localization_mode(self):
+        """Freeze the backend; keep tracking against the current map
+        (System::ActivateLocalizationMode, System.cc:270-276). The map,
+        BoW database, and loop closer stop changing; relocalization remains
+        available for blackout recovery."""
+        self.flush()
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        """Resume full SLAM (System::DeactivateLocalizationMode,
+        System.cc:277-283)."""
+        self.localization_only = False
+        self._vo_mode = False
+
+    def flush(self):
+        """Commit any in-flight device work (async local BA, found/visible
+        accumulators) into the host map. Call before reading map state
+        externally (trajectory save, checkpoint, evaluation)."""
+        self._fold_acc()
+        self._commit_pending_ba()
+        if self._snap is not None and self._acc is None:
+            self._acc = fstep.make_acc(self.cfg)
 
     def _abs_pose(self, T_rel: np.ndarray, ref_kf: int) -> np.ndarray:
         """Chain a relative row against the current (possibly loop-corrected)
@@ -656,6 +813,7 @@ class SlamSystem:
 
     def save_trajectory_tum(self, path: str):
         """TUM-format trajectory (System::SaveTrajectoryTUM, System.cc:323)."""
+        self.flush()
         with open(path, "w") as f:
             for ts, T_rel, ref in self.trajectory:
                 self._write_tum_row(f, ts, self._abs_pose(T_rel, ref))
@@ -663,6 +821,7 @@ class SlamSystem:
     def save_keyframe_trajectory_tum(self, path: str):
         """TUM-format keyframe trajectory (SaveKeyFrameTrajectoryTUM,
         System.cc:384)."""
+        self.flush()
         m = self.map
         # Slot order is not temporal once culled slots are recycled; emit
         # rows in timestamp order for downstream evaluation tools.
@@ -675,6 +834,7 @@ class SlamSystem:
     def save_trajectory_kitti(self, path: str):
         """KITTI-format trajectory: row-major 3x4 of T_wc
         (System::SaveTrajectoryKITTI, System.cc:412-441)."""
+        self.flush()
         with open(path, "w") as f:
             for ts, T_rel, ref in self.trajectory:
                 T = self._abs_pose(T_rel, ref)
@@ -685,6 +845,7 @@ class SlamSystem:
 
     @property
     def poses(self):
+        self.flush()
         return np.stack(
             [self._abs_pose(T_rel, ref) for _, T_rel, ref in self.trajectory]
         )

@@ -13,7 +13,8 @@ import jax.numpy as jnp
 CHI2_MONO = 5.991  # 2 dof
 CHI2_STEREO = 7.815  # 3 dof
 CHI2_LINE = 5.991   # 2 dof point-to-line pairs
-CHI2_LIL = 12.592   # 6 dof composite LIL edge (95% for 6 dof)
+# (The composite LIL edge gate lives in solver/lil.py: CHI2_LIL = 11.07,
+# matching the reference's chi2LLIL, Optimizer.cc:628,706.)
 
 HUBER_MONO = jnp.sqrt(CHI2_MONO)
 HUBER_STEREO = jnp.sqrt(CHI2_STEREO)

@@ -19,6 +19,8 @@ class Capacities:
     max_keyframes: int = 256
     max_map_points: int = 32768
     local_points: int = 4096  # tracking local-map view
+    local_lines: int = 512  # tracking local map-line snapshot
+    local_lils: int = 512  # tracking InsectLine snapshot
     ba_cams: int = 48  # total cameras in a local BA problem
     ba_free: int = 16  # free cameras (1-hop covisibility window)
     ba_points: int = 4096
@@ -61,6 +63,12 @@ class PlaneAssocConfig:
 
     d_th: float = 0.05  # mean point-plane distance (m)
     a_th: float = 0.999  # |cos| plane-normal angle
+    # InsectLine frame-observation probation (insectline.cc:22,39-43 +
+    # MapPlane.ObserveTimes: 20 in the reference configs): a LIL that has
+    # not been plane-associated by > observe_th distinct frames once its
+    # probation window (in keyframes) expires is culled.
+    observe_th: int = 20
+    probation_kfs: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,217 @@
+"""Round-4 feature tests: PnP fallback, depth-hole relocalization,
+LIL probation culling, graceful KF capacity, localization-only mode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pslam_tpu.geometry import se3_exp
+from pslam_tpu.utils.config import (
+    Capacities,
+    PlaneAssocConfig,
+    SlamConfig,
+    TrackingConfig,
+)
+
+
+def _random_pose(rng, rot=0.2, trans=0.3):
+    xi = np.r_[rng.normal(0, trans, 3), rng.normal(0, rot, 3)].astype(
+        np.float32
+    )
+    return np.asarray(se3_exp(jnp.asarray(xi)))
+
+
+class TestPnPRansac:
+    def test_recovers_pose_with_outliers(self):
+        from pslam_tpu.solver.pnp import pnp_ransac_2d3d
+
+        cfg = SlamConfig()
+        cam = cfg.camera
+        rng = np.random.default_rng(0)
+        T_gt = _random_pose(rng)
+        N = 256
+        X_w = rng.uniform([-2, -2, 2], [2, 2, 6], (N, 3)).astype(np.float32)
+        Xc = X_w @ T_gt[:3, :3].T + T_gt[:3, 3]
+        u = cam.fx * Xc[:, 0] / Xc[:, 2] + cam.cx
+        v = cam.fy * Xc[:, 1] / Xc[:, 2] + cam.cy
+        uv = np.stack([u, v], axis=-1).astype(np.float32)
+        uv += rng.normal(0, 0.5, uv.shape).astype(np.float32)
+        # 30% gross outliers.
+        n_out = N * 3 // 10
+        uv[:n_out] = rng.uniform(0, 600, (n_out, 2)).astype(np.float32)
+        valid = np.ones(N, bool)
+
+        T, inl, n = pnp_ransac_2d3d(
+            cam, jnp.asarray(X_w), jnp.asarray(uv), jnp.asarray(valid),
+            jax.random.PRNGKey(0),
+        )
+        T = np.asarray(T)
+        assert int(n) > 0.8 * (N - n_out)
+        assert np.linalg.norm(T[:3, 3] - T_gt[:3, 3]) < 0.05
+        assert np.abs(T[:3, :3] - T_gt[:3, :3]).max() < 0.02
+
+    def test_depth_sparse_branch_selected(self):
+        """reloc_bow_step must produce a usable pose when ~80% of matched
+        features fall in depth holes (VERDICT r3 item 9 done criterion)."""
+        from pslam_tpu.pipeline.frame_ops import make_frame
+        from pslam_tpu.pipeline.relocalization import reloc_bow_step
+        from pslam_tpu.io.synthetic import render_sequence
+
+        cfg = SlamConfig()
+        cam, orb = cfg.camera, cfg.orb
+        grays, depths, poses = render_sequence(cam, n_frames=2, seed=5)
+        # Punch depth holes over ~97% of the image (one 16-px column stripe
+        # keeps depth) so <12 matched features carry depth and the uv-only
+        # PnP branch must carry the solve.
+        dep = depths[1].copy()
+        H, W = dep.shape
+        mask = np.arange(W)[None, :] // 8 != 20
+        dep[np.broadcast_to(mask, (H, W))] = 0.0
+
+        fd_full = make_frame(
+            jnp.asarray(grays[0]), jnp.asarray(depths[0]), cam, orb
+        )
+        fd_holes = make_frame(jnp.asarray(grays[1]), jnp.asarray(dep), cam, orb)
+
+        # Build the "keyframe" side from frame 0 with full depth: world
+        # points via its ground-truth pose.
+        T0 = poses[0]
+        T0_inv = np.linalg.inv(T0)
+        xyz_c = np.asarray(fd_full.xyz_c)
+        has = np.asarray((fd_full.depth > 0) & fd_full.valid)
+        X_w = (xyz_c @ T0_inv[:3, :3].T) + T0_inv[:3, 3]
+        sigma2 = np.asarray(
+            [(orb.scale**l) ** 2 for l in range(orb.levels)], np.float32
+        )
+        nodes = np.zeros(len(has), np.int32)  # single BoW bucket
+        res = reloc_bow_step(
+            cam,
+            jnp.asarray(X_w.astype(np.float32)),
+            jnp.asarray(has),
+            fd_full.desc,
+            fd_full.angle,
+            jnp.asarray(nodes),
+            fd_holes,
+            jnp.asarray(nodes),
+            jnp.asarray(sigma2),
+            jax.random.PRNGKey(1),
+        )
+        # Depth-backed matches must be scarce, so the PnP branch ran.
+        n_depth_matches = int(
+            np.asarray(
+                jnp.sum(
+                    (res.match_idx >= 0)
+                    & (fd_holes.depth[jnp.maximum(res.match_idx, 0)] > 0)
+                )
+            )
+        )
+        assert n_depth_matches < 12, "test setup: depth holes not sparse enough"
+        T1_gt = poses[1]
+        T = np.asarray(res.T_cw)
+        assert int(res.n_inliers) >= 30
+        assert np.linalg.norm(T[:3, 3] - T1_gt[:3, 3]) < 0.10
+
+
+class TestLILProbation:
+    def test_immature_lils_culled(self):
+        from pslam_tpu.models.map_state import MapState
+        from pslam_tpu.pipeline.line_mapping import cull_lils_by_quality
+
+        cfg = SlamConfig(
+            plane_assoc=PlaneAssocConfig(observe_th=3, probation_kfs=2)
+        )
+        m = MapState(cfg)
+        # Fake keyframe sequence bookkeeping.
+        m.kf_seq[0] = 0
+        m.next_kf_seq = 1
+        ids = m.create_lils(
+            0,
+            np.asarray([0, 1]),
+            np.zeros((2, 15), np.float32),
+            np.tile(np.asarray([0, 0, 1, 1], np.float32), (2, 1)),
+            np.zeros((2, 8), np.float32),
+        )
+        # LIL 0 matures: frame obs above threshold + a second KF observation.
+        m.il_frame_obs[ids[0]] = 10
+        m.il_n_obs[ids[0]] = 2
+        # Advance past probation.
+        m.next_kf_seq = 5
+        n = cull_lils_by_quality(m, cfg)
+        assert n == 1
+        assert m.il_valid[ids[0]]
+        assert not m.il_valid[ids[1]]
+
+
+class TestKeyframeCapacity:
+    def test_eviction_instead_of_crash(self):
+        from pslam_tpu.models.map_state import MapState
+
+        cfg = SlamConfig()
+        m = MapState(cfg)
+        cap = m.kf_valid.shape[0]
+        rng = np.random.default_rng(0)
+        N = m.kf_uv.shape[1]
+        uv = rng.uniform(0, 400, (N, 2)).astype(np.float32)
+        args = dict(
+            ur=np.full(N, -1, np.float32),
+            level=np.zeros(N, np.int32),
+            angle=np.zeros(N, np.float32),
+            desc=np.zeros((N, 32), np.uint8),
+            feat_valid=np.ones(N, bool),
+            depth=np.ones(N, np.float32),
+            feat_mp=np.full(N, -1, np.int32),
+        )
+        for i in range(cap + 3):  # 3 past capacity: must not raise
+            m.add_keyframe(i, i * 0.1, np.eye(4, dtype=np.float32), uv, **args)
+        assert m.kf_valid.sum() <= cap
+
+
+def _drive(system, grays, depths, n, t0=0.0):
+    for i in range(n):
+        system.track_rgbd(grays[i], depths[i], t0 + i / 30.0)
+
+
+class TestLocalizationOnly:
+    @pytest.fixture(scope="class")
+    def seq(self):
+        from pslam_tpu.io.synthetic import render_sequence
+
+        cfg = SlamConfig()
+        return render_sequence(cfg.camera, n_frames=70, seed=2)
+
+    def test_freezes_backend_and_recovers(self, seq):
+        from pslam_tpu.pipeline.system import SlamSystem, TrackState
+
+        grays, depths, poses_gt = seq
+        cfg = SlamConfig()
+        s = SlamSystem(cfg)
+        _drive(s, grays, depths, 15)
+        assert s.state == TrackState.OK
+        kfs_before = s.stats["kf_inserted"]
+        mp_count = int(s.map.mp_valid.sum())
+
+        s.activate_localization_mode()
+        # 50 tracked frames: zero KF insertions, zero new landmarks.
+        for i in range(15, 65):
+            s.track_rgbd(grays[i], depths[i], i / 30.0)
+        assert s.stats["kf_inserted"] == kfs_before
+        assert int(s.map.mp_valid.sum()) == mp_count
+        assert s.state == TrackState.OK
+
+        # Blackout: featureless frames lose tracking...
+        black = np.zeros_like(grays[0])
+        nodep = np.zeros_like(depths[0])
+        for j in range(3):
+            s.track_rgbd(black, nodep, 3.0 + j / 30.0)
+        assert s.state == TrackState.LOST
+        assert s.stats.get("resets", 0) == 0  # no hard reset in loc-only mode
+
+        # ...and recover via relocalization on a revisited view.
+        for j in range(3):
+            s.track_rgbd(grays[20 + j], depths[20 + j], 4.0 + j / 30.0)
+            if s.state == TrackState.OK:
+                break
+        assert s.state == TrackState.OK
+        assert s.stats.get("relocs", 0) >= 1
+        assert s.stats["kf_inserted"] == kfs_before

@@ -63,8 +63,22 @@ def tiny_dataset(tmp_path_factory):
     root = tmp_path_factory.mktemp("tumseq")
     os.makedirs(root / "rgb")
     os.makedirs(root / "depth")
-    cam = SlamConfig().camera
-    grays, depths, poses = render_sequence(cam, n_frames=6, seed=3)
+    # Render through the TUM1 distortion model so the images are consistent
+    # with the distortion coefficients in SETTINGS.
+    s = {}
+    for line in SETTINGS.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or line.startswith("%") or ":" not in line:
+            continue
+        k, _, v = line.partition(":")
+        try:
+            s[k.strip()] = float(v) if "." in v else int(v)
+        except ValueError:
+            pass
+    cam = config_from_settings(s).camera
+    grays, depths, poses = render_sequence(
+        cam, n_frames=6, seed=3, use_distortion=True
+    )
     rows = []
     for i, (g, d) in enumerate(zip(grays, depths)):
         t = 1305031102.0 + i / 30.0
@@ -119,10 +133,61 @@ def test_rgbd_tum_app(tiny_dataset, tmp_path, monkeypatch):
     assert rc == 0
     f = np.loadtxt("f_tiny.txt")
     assert f.shape == (6, 8)
-    kf = np.loadtxt("kf_tiny.txt")
-    assert kf.ndim == 2 and kf.shape[1] == 8 and kf.shape[0] >= 1
+    kf = np.atleast_2d(np.loadtxt("kf_tiny.txt"))
+    assert kf.shape[1] == 8 and kf.shape[0] >= 1
     kitti = np.loadtxt("kitti_tiny.txt")
     assert kitti.shape == (6, 12)
     # First pose is the origin in both formats.
     assert f[0, 1:4] == pytest.approx([0, 0, 0], abs=1e-6)
     assert kitti[0].reshape(3, 4)[:, :3] == pytest.approx(np.eye(3), abs=1e-6)
+
+
+def test_rgbd_tum_app_distorted_ate(tmp_path, monkeypatch):
+    """Full CLI round trip on a DISTORTED-lens dataset (VERDICT r3 item 6):
+    PNG decode, DepthMapFactor scaling, the undistort_points path driven by
+    images actually rendered through the TUM1 distortion model, trajectory
+    save — gated on ATE against ground truth."""
+    from PIL import Image
+
+    from pslam_tpu.utils.metrics import ate_rmse, trajectory_positions
+
+    settings_path = tmp_path / "settings.yaml"
+    settings_path.write_text(SETTINGS)
+    settings = load_settings_yaml(str(settings_path))
+    cfg = config_from_settings(settings)
+    cam = cfg.camera
+    assert cam.has_distortion
+
+    root = tmp_path / "seq"
+    os.makedirs(root / "rgb")
+    os.makedirs(root / "depth")
+    n = 8
+    grays, depths, poses_gt = render_sequence(
+        cam, n_frames=n, seed=4, use_distortion=True
+    )
+    rows = []
+    for i, (g, d) in enumerate(zip(grays, depths)):
+        t = 1305031102.0 + i / 30.0
+        rgb8 = np.clip(g, 0, 255).astype(np.uint8)
+        Image.fromarray(np.stack([rgb8] * 3, -1)).save(
+            root / "rgb" / f"{i}.png"
+        )
+        d16 = np.clip(d * 5000.0, 0, 65535).astype(np.uint16)
+        Image.fromarray(d16).save(root / "depth" / f"{i}.png")
+        rows.append(f"{t:.6f} rgb/{i}.png {t:.6f} depth/{i}.png")
+    (root / "assoc.txt").write_text("\n".join(rows) + "\n")
+
+    monkeypatch.chdir(tmp_path)
+    from pslam_tpu.apps.rgbd_tum import main
+
+    rc = main([
+        str(settings_path), str(root), str(root / "assoc.txt"), "dist",
+        "--no-lines", "--no-loop",
+    ])
+    assert rc == 0
+    f = np.loadtxt("f_dist.txt")
+    assert f.shape == (n, 8)
+    est_pos = f[:, 1:4]
+    gt_pos = trajectory_positions(poses_gt)
+    ate = ate_rmse(est_pos, gt_pos)
+    assert ate < 0.05, f"ATE {ate:.4f} m on distorted dataset"
