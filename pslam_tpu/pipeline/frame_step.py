@@ -83,6 +83,9 @@ class Acc(NamedTuple):
 
 
 class StepOut(NamedTuple):
+    T_cw: jnp.ndarray  # (4, 4) device pose — lets the NEXT frame_step chain
+    # off it without any host fetch (depth-1 pipelined tracking)
+    vel: jnp.ndarray  # (4, 4) device velocity T_cw @ inv(T_prev)
     summary: jnp.ndarray  # (24,) f32, see SUMMARY_* indices below
     match_point: jnp.ndarray  # (M,) feature idx per local point, -1 none
     inlier: jnp.ndarray  # (M,) bool
@@ -271,6 +274,8 @@ def frame_step(
         ]
     )
     return StepOut(
+        T_cw=res2.T_cw,
+        vel=res2.T_cw @ jnp.linalg.inv(T_prev),
         summary=summary,
         match_point=res2.match_point,
         inlier=res2.inlier,

@@ -99,6 +99,9 @@ class SlamSystem:
         self._snap_ml_ids = np.zeros(0, np.int64)
         self._snap_il_ids = np.zeros(0, np.int64)
         self._pending_ba = None
+        self._snap_epoch = 0
+        self._fresh_acc = False
+        self._inflight = None  # depth-1 pipelined frame (track_rgbd_pipelined)
         # Localization-only mode (System::ActivateLocalizationMode,
         # System.cc:270-283): backend frozen, tracking against the frozen
         # map; _vo_mode mirrors mbVO (Tracking.cc:304-411) — few map
@@ -132,6 +135,8 @@ class SlamSystem:
     def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, timestamp: float):
         """Process one RGB-D frame; returns the (4, 4) world->cam pose
         (System::TrackRGBD, System.cc:169)."""
+        if self._inflight is not None:
+            self._drain_pipeline()
         cam, orb = self.cfg.camera, self.cfg.orb
         gray_d = jnp.asarray(gray, jnp.float32)
         depth_d = jnp.asarray(depth, jnp.float32)
@@ -171,16 +176,212 @@ class SlamSystem:
                 elif self.last is not None:
                     hf.T_cw = self.last.T_cw.copy()
 
-        self.last = hf
         self.frame_id += 1
+        self._commit_frame(hf)
+        return hf.T_cw
+
+    def _commit_frame(self, hf: HostFrame):
+        """Trajectory bookkeeping for a finished frame (Tracking.cc:534-551
+        relative-pose rows vs the reference keyframe)."""
+        self.last = hf
         if self.state == TrackState.OK and self.map.n_kf > 0:
             T_rel = hf.T_cw @ np.linalg.inv(self.map.kf_pose[self.ref_kf])
             self.trajectory.append(
-                (timestamp, T_rel.astype(np.float32), int(self.ref_kf))
+                (hf.timestamp, T_rel.astype(np.float32), int(self.ref_kf))
             )
         else:
-            self.trajectory.append((timestamp, hf.T_cw.copy(), -1))
+            self.trajectory.append((hf.timestamp, hf.T_cw.copy(), -1))
+
+    # ------------------------------------------------------------------
+    # Monocular pipeline (System::TrackMonocular, Tracking.cc:245-272)
+
+    def track_mono(self, gray: np.ndarray, timestamp: float):
+        """Monocular tracking: H/F two-view initialization
+        (Tracking::MonocularInitialization, Tracking.cc:659-757, via
+        solver/initializer.py) creating a median-depth-normalized map, then
+        the standard fused tracking path with mono (ur < 0) observations.
+        New landmarks come from epipolar triangulation only; relocalization
+        uses the uv-only PnP branch (no depth anywhere). Returns the (4, 4)
+        pose."""
+        if self.state in (TrackState.OK, TrackState.LOST):
+            return self.track_rgbd(
+                gray, np.zeros_like(np.asarray(gray), np.float32), timestamp
+            )
+        cam, orb = self.cfg.camera, self.cfg.orb
+        gray_d = jnp.asarray(gray, jnp.float32)
+        depth0 = jnp.zeros_like(gray_d)
+        fd = make_frame(gray_d, depth0, cam, orb)
+        hf = self._to_host(fd, timestamp)
+        ref = getattr(self, "_mono_ref", None)
+        if ref is None or not self._try_mono_init(ref, hf):
+            # Keep the newest frame as the initialization reference
+            # (the reference resets mInitialFrame each failed attempt,
+            # Tracking.cc:673-686).
+            self._mono_ref = hf
+            self.state = TrackState.NOT_INITIALIZED
+        else:
+            self._mono_ref = None
+            self.state = TrackState.OK
+            self._invalidate_snapshot(fold=False)
+        self.frame_id += 1
+        self._commit_frame(hf)
         return hf.T_cw
+
+    def _try_mono_init(self, ref: HostFrame, hf: HostFrame) -> bool:
+        """Two-view initialization between the reference frame and the
+        current frame; on success builds the initial two-keyframe map
+        (CreateInitialMapMonocular, Tracking.cc:759-884)."""
+        from pslam_tpu.ops.match import (
+            TH_LOW,
+            hamming_matrix,
+            mutual_nn_match,
+            window_mask,
+        )
+        from pslam_tpu.solver.initializer import initialize_two_view
+
+        cam = self.cfg.camera
+        dist = hamming_matrix(jnp.asarray(ref.desc), jnp.asarray(hf.desc))
+        # 100-px window + ratio 0.9 (SearchForInitialization,
+        # ORBmatcher.cc:364: windowSize=100, mfNNratio 0.9).
+        box = window_mask(jnp.asarray(ref.uv), jnp.asarray(hf.uv), 100.0)
+        idx, _ = jax.device_get(
+            mutual_nn_match(
+                dist, valid_a=jnp.asarray(ref.valid),
+                valid_b=jnp.asarray(hf.valid),
+                max_dist=TH_LOW, ratio=0.9, extra_mask=box,
+            )
+        )
+        m = idx >= 0
+        if m.sum() < 100:  # Tracking.cc:699 (nmatches < 100 -> retry)
+            return False
+        uv2 = np.zeros_like(ref.uv)
+        uv2[m] = hf.uv[idx[m]]
+        res = jax.device_get(
+            initialize_two_view(
+                jnp.asarray(ref.uv), jnp.asarray(uv2), jnp.asarray(m),
+                jax.random.PRNGKey(hf.frame_id),
+                fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+            )
+        )
+        if not bool(res.ok) or int(res.n_good) < 80:
+            return False
+
+        good = res.triangulated & m
+        X1 = res.X1
+        # Scale gauge: median scene depth -> 1
+        # (CreateInitialMapMonocular, Tracking.cc:828-840).
+        med = float(np.median(X1[good][:, 2]))
+        if med <= 1e-6:
+            return False
+        X1 = (X1 / med).astype(np.float32)
+        T0 = np.eye(4, dtype=np.float32)
+        T1 = np.eye(4, dtype=np.float32)
+        T1[:3, :3] = res.R21
+        T1[:3, 3] = res.t21 / med
+
+        m_ = self.map
+        ref.T_cw = T0
+        hf.T_cw = T1
+        kf0 = m_.add_keyframe(
+            ref.frame_id, ref.timestamp, T0, ref.uv, ref.ur, ref.level,
+            ref.angle, ref.desc, ref.valid, ref.depth,
+            np.full_like(ref.feat_mp, -1),
+        )
+        kf1 = m_.add_keyframe(
+            hf.frame_id, hf.timestamp, T1, hf.uv, hf.ur, hf.level,
+            hf.angle, hf.desc, hf.valid, hf.depth,
+            np.full_like(hf.feat_mp, -1),
+        )
+        sel0 = np.flatnonzero(good)
+        ids = m_.create_points_from_depth(kf0, sel0, X1[sel0])
+        m_.add_point_obs(kf1, idx[sel0], ids)
+        ref.feat_mp[sel0] = ids
+        hf.feat_mp[idx[sel0]] = ids
+        m_._update_covisibility(kf0)
+        m_._update_covisibility(kf1)
+        m_.update_point_stats(ids)
+        self._register_kf_bow(kf0, ref)
+        self._register_kf_bow(kf1, hf)
+        self.ref_kf = kf1
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.stats["kf_inserted"] += 2
+        return True
+
+    # ------------------------------------------------------------------
+    # Depth-1 pipelined tracking
+
+    def track_rgbd_pipelined(self, gray, depth, timestamp: float):
+        """Pipelined variant of track_rgbd: dispatches THIS frame chained
+        off the previous frame's device-resident pose (no host fetch on the
+        critical path) and then finishes the PREVIOUS frame. Returns the
+        previous frame's (4, 4) pose, or None on the priming call.
+
+        One frame of output latency buys full overlap of the device program
+        with host work and transfer round trips — the TPU analogue of the
+        reference's tracking/LocalMapping thread split (System.cc:86-113)
+        applied at frame granularity. Call finish() after the last frame.
+        """
+        if self.state != TrackState.OK:
+            self._drain_pipeline()
+            self.track_rgbd(gray, depth, timestamp)
+            return self.last.T_cw if self.last is not None else None
+        gray_d = jnp.asarray(gray, jnp.float32)
+        depth_d = jnp.asarray(depth, jnp.float32)
+        if self._snap is None:
+            self._rebuild_snapshot()
+        prev = self._inflight
+        if prev is None or self._fresh_acc or prev["epoch"] != self._snap_epoch:
+            # Chain off committed host state (fresh pipeline / new snapshot).
+            T_in = jnp.asarray(
+                self.last.T_cw if prev is None else prev["pose_hint"]
+            )
+            v_in = jnp.asarray(self.velocity)
+            acc_in = self._acc
+            self._fresh_acc = False
+        else:
+            T_in, v_in, acc_in = (
+                prev["out"].T_cw, prev["out"].vel, prev["out"].acc
+            )
+        out = fstep.frame_step(
+            self.cfg, gray_d, depth_d, T_in, v_in,
+            self.cfg.tracking.motion_match_radius, self._snap, acc_in,
+        )
+        item = {
+            "out": out,
+            "gray_d": gray_d,
+            "depth_d": depth_d,
+            "ts": float(timestamp),
+            "fid": self.frame_id,
+            "epoch": self._snap_epoch,
+            # Device pose passed to the next dispatch even if this frame is
+            # finished (and possibly retried) before then.
+            "pose_hint": out.T_cw,
+        }
+        self.frame_id += 1
+        self._inflight = item
+        if prev is None:
+            return None
+        return self._finish_pipelined(prev)
+
+    def _finish_pipelined(self, item) -> np.ndarray:
+        hf = self._finish_frame(
+            item["out"], item["gray_d"], item["depth_d"], item["ts"],
+            item["fid"], item["epoch"],
+        )
+        self._commit_frame(hf)
+        return hf.T_cw
+
+    def _drain_pipeline(self):
+        item = self._inflight
+        self._inflight = None
+        if item is not None:
+            self._finish_pipelined(item)
+
+    def finish(self):
+        """Flush the pipelined tracker: finish the in-flight frame (if any)
+        and commit pending device work."""
+        self._drain_pipeline()
+        self.flush()
 
     # ------------------------------------------------------------------
 
@@ -247,35 +448,46 @@ class SlamSystem:
 
     def _track_fused(self, gray_d, depth_d, timestamp: float) -> HostFrame:
         """The per-frame hot path: ONE fused device dispatch against the
-        device-resident snapshot + one 24-float fetch (frame_step.py).
-        Falls back to the widened window (Tracking.cc:1198-1203) and then
-        the un-windowed reference-KF search (TrackReferenceKeyFrame,
-        Tracking.cc:880) when inliers are scarce."""
+        device-resident snapshot + one 24-float fetch (frame_step.py)."""
         cfg = self.cfg
-        cfg_t = cfg.tracking
         if self._snap is None:
             self._rebuild_snapshot()
-        T_prev = jnp.asarray(self.last.T_cw)
-        vel = jnp.asarray(self.velocity)
         out = fstep.frame_step(
-            cfg, gray_d, depth_d, T_prev, vel,
-            cfg_t.motion_match_radius, self._snap, self._acc,
+            cfg, gray_d, depth_d, jnp.asarray(self.last.T_cw),
+            jnp.asarray(self.velocity), cfg.tracking.motion_match_radius,
+            self._snap, self._acc,
         )
+        return self._finish_frame(
+            out, gray_d, depth_d, timestamp, self.frame_id, self._snap_epoch
+        )
+
+    def _finish_frame(
+        self, out, gray_d, depth_d, timestamp: float, frame_id: int,
+        epoch: int,
+    ) -> HostFrame:
+        """Consume one frame_step result: fetch the summary, retry with the
+        widened window (Tracking.cc:1198-1203) and the un-windowed
+        reference-KF search (TrackReferenceKeyFrame, Tracking.cc:880) when
+        inliers are scarce, update the state machine, and run the keyframe
+        policy. ``epoch`` is the snapshot generation the dispatch used —
+        results from a superseded snapshot keep their pose but their
+        slot-indexed outputs (matches, accumulators) are not folded."""
+        cfg = self.cfg
+        cfg_t = cfg.tracking
         summary = np.asarray(out.summary)
         # Retry gate: the reference demands >= 30 TrackLocalMap inliers
-        # before trusting a pose (Tracking.cc:1400-1406); below that, retry
-        # with the widened window (Tracking.cc:1198-1203) and then the
-        # un-windowed reference-KF search before conceding.
+        # before trusting a pose (Tracking.cc:1400-1406).
         retry_th = max(cfg_t.min_local_inliers, cfg_t.min_track_inliers)
         if summary[fstep.S_INLIERS] < retry_th:
-            # Same compiled program, widened motion window.
+            # Same compiled program, widened motion window, CURRENT snapshot.
             out2 = fstep.frame_step(
-                cfg, gray_d, depth_d, T_prev, vel,
+                cfg, gray_d, depth_d, jnp.asarray(self.last.T_cw),
+                jnp.asarray(self.velocity),
                 cfg_t.motion_match_radius_wide, self._snap, self._acc,
             )
             s2 = np.asarray(out2.summary)
             if s2[fstep.S_INLIERS] > summary[fstep.S_INLIERS]:
-                out, summary = out2, s2
+                out, summary, epoch = out2, s2, self._snap_epoch
         if summary[fstep.S_INLIERS] < retry_th:
             fb = self._fallback_ref_kf(gray_d, depth_d, out)
             if fb is not None and (
@@ -283,15 +495,17 @@ class SlamSystem:
                 > summary[fstep.S_INLIERS]
             ):
                 out, summary = fb
+                epoch = self._snap_epoch
 
         hf = HostFrame(
-            frame_id=self.frame_id,
+            frame_id=frame_id,
             timestamp=float(timestamp),
             T_cw=np.asarray(
                 summary[fstep.S_T], np.float32
             ).reshape(4, 4).copy(),
         )
-        self._acc = out.acc
+        if epoch == self._snap_epoch:
+            self._acc = out.acc
         n_inliers = int(summary[fstep.S_INLIERS])
         if n_inliers < cfg_t.min_track_inliers:
             self.state = TrackState.LOST
@@ -309,7 +523,9 @@ class SlamSystem:
             # mode so the caller/metrics can see it. KF insertion and every
             # backend stage stay frozen (System.cc:270-283).
             self._vo_mode = n_inliers < 20
-        elif self._need_new_keyframe(hf, summary):
+        elif epoch == self._snap_epoch and self._need_new_keyframe(
+            hf, summary
+        ):
             self._materialize_host_frame(hf, out)
             self._create_keyframe(hf)
             self._rebuild_snapshot()
@@ -404,6 +620,8 @@ class SlamSystem:
     def _rebuild_snapshot(self):
         """Upload a fresh tracker view of the map (keyframe events only)."""
         self._fold_acc()
+        self._snap_epoch += 1
+        self._fresh_acc = True
         cfg = self.cfg
         m = self.map
         local_kfs = self._local_keyframes()
@@ -743,6 +961,7 @@ class SlamSystem:
         clear map, database, trajectory bookkeeping keeps accumulating."""
         vocab = self.kf_db.vocab if self.kf_db is not None else None
         self._pending_ba = None
+        self._inflight = None
         self._invalidate_snapshot(fold=False)
         # Freeze prior rows to absolute poses — their reference KFs are about
         # to be destroyed with the map.
