@@ -265,6 +265,41 @@ class LoopCloser:
             n_total = int((pidx[: len(mp_ids)] >= 0).sum())
             if n_total < MIN_TOTAL_MATCHES:
                 continue
+
+            # Metric 3D-3D refinement of Scw (RGB-D redesign): loop
+            # neighbourhoods are often plane-dominant, and reprojection-only
+            # Sim3 optimization slides along the homography-ambiguity
+            # valley of a wall (observed: constraint error >> drift). The
+            # depth channel breaks the degeneracy — align the current KF's
+            # depth-backprojected features to the matched hood landmarks
+            # with a fixed-budget Horn RANSAC in METERS (solver/horn.py),
+            # where a depth-axis error costs what it should.
+            from pslam_tpu.solver.horn import se3_ransac_3d3d
+
+            sel = np.flatnonzero(pidx[: len(mp_ids)] >= 0)
+            f = pidx[sel]
+            z = m.kf_feat_depth[kf, f]
+            has_z = z > 0
+            RC = 512
+            Xl = np.zeros((RC, 3), np.float32)
+            Xc = np.zeros((RC, 3), np.float32)
+            vmask3 = np.zeros(RC, bool)
+            nr = min(len(sel), RC)
+            uvf = m.kf_uv[kf, f[:nr]]
+            zf = z[:nr]
+            Xc[:nr, 0] = (uvf[:, 0] - cfg.camera.cx) / cfg.camera.fx * zf
+            Xc[:nr, 1] = (uvf[:, 1] - cfg.camera.cy) / cfg.camera.fy * zf
+            Xc[:nr, 2] = zf
+            Xl[:nr] = m.mp_pos[mp_ids[sel[:nr]]]
+            vmask3[:nr] = has_z[:nr]
+            if int(vmask3.sum()) >= 30:
+                T3, _, n3 = se3_ransac_3d3d(
+                    jnp.asarray(Xl), jnp.asarray(Xc), jnp.asarray(vmask3),
+                    jax.random.PRNGKey(kf * 1301 + rank), inlier_th=0.05,
+                )
+                if int(n3) >= 30:
+                    Scw = sim3_from_se3(T3)
+
             self.stats["detected"] += 1
             return cand, Scw, mp_ids, pidx[: len(mp_ids)]
         return None
@@ -590,5 +625,96 @@ class LoopCloser:
         if out is None:
             return False
         loop_kf, Scw, loop_mp_ids, proj_idx = out
+        if not self._innovation_supported(kf, Scw, loop_mp_ids):
+            # The loop is real but the current pose already explains the
+            # loop neighbourhood at least as well as the Sim3 constraint —
+            # the map has not drifted beyond the constraint's own noise
+            # floor. Applying the "correction" would only inject that noise
+            # (the reference never faces this: its ~1M-word ORBvoc on real
+            # imagery yields constraints well below typical drift). Fuse
+            # the duplicate landmarks and record the loop edge, skip the
+            # pose surgery.
+            self.fuse_only(kf, loop_kf, loop_mp_ids)
+            return True
         self.correct_loop(kf, loop_kf, Scw, loop_mp_ids, proj_idx)
         return True
+
+    def _innovation_supported(self, kf: int, Scw: Sim3,
+                              loop_mp_ids) -> bool:
+        """Evidence gate for the loop innovation: project the loop
+        neighbourhood's landmarks into the current KF through BOTH the
+        corrected Sim3 and the current estimated pose with a tight window;
+        accept the correction only where it explains clearly more matches."""
+        m = self.sys.map
+        cfg = self.sys.cfg
+        P = cfg.caps.local_points
+        pos = np.zeros((P, 3), np.float32)
+        desc = np.zeros((P, 32), np.uint8)
+        okp = np.zeros(P, bool)
+        nn = min(len(loop_mp_ids), P)
+        pos[:nn] = m.mp_pos[loop_mp_ids[:nn]]
+        desc[:nn] = m.mp_desc[loop_mp_ids[:nn]]
+        okp[:nn] = m.mp_valid[loop_mp_ids[:nn]]
+
+        def count(S):
+            idx = np.asarray(
+                _match_by_projection_sim3(
+                    cfg.camera, S, jnp.asarray(pos), jnp.asarray(desc),
+                    jnp.asarray(okp), jnp.asarray(m.kf_uv[kf]),
+                    jnp.asarray(m.kf_desc[kf]), jnp.asarray(m.kf_angle[kf]),
+                    jnp.asarray(m.kf_feat_valid[kf]), 3.0,
+                )
+            )
+            return int((idx[:nn] >= 0).sum())
+
+        S_cur = sim3_from_se3(jnp.asarray(m.kf_pose[kf].astype(np.float32)))
+        n_corr = count(Scw)
+        n_cur = count(S_cur)
+        self.stats["gate_corr"] = n_corr
+        self.stats["gate_cur"] = n_cur
+        return n_corr > max(1.2 * n_cur, n_cur + 10)
+
+    def fuse_only(self, kf: int, loop_kf: int, loop_mp_ids):
+        """Low-innovation loop acceptance: merge duplicate landmarks between
+        the current covisible group and the loop neighbourhood using the
+        CURRENT poses (SearchAndFuse semantics without the Sim3 warp),
+        refresh covisibility, and record the loop edge for the essential
+        graph / KF-culling protection."""
+        m = self.sys.map
+        cfg = self.sys.cfg
+        P = cfg.caps.local_points
+        pos = np.zeros((P, 3), np.float32)
+        desc = np.zeros((P, 32), np.uint8)
+        okp = np.zeros(P, bool)
+        nn = min(len(loop_mp_ids), P)
+        pos[:nn] = m.mp_pos[loop_mp_ids[:nn]]
+        desc[:nn] = m.mp_desc[loop_mp_ids[:nn]]
+        okp[:nn] = m.mp_valid[loop_mp_ids[:nn]]
+        group = np.unique(np.r_[[kf], m.covisible_kfs(kf)].astype(np.int64))
+        for k in group:
+            k = int(k)
+            S_k = sim3_from_se3(jnp.asarray(m.kf_pose[k].astype(np.float32)))
+            pidx = np.asarray(
+                _match_by_projection_sim3(
+                    cfg.camera, S_k, jnp.asarray(pos), jnp.asarray(desc),
+                    jnp.asarray(okp), jnp.asarray(m.kf_uv[k]),
+                    jnp.asarray(m.kf_desc[k]), jnp.asarray(m.kf_angle[k]),
+                    jnp.asarray(m.kf_feat_valid[k]), 4.0,
+                )
+            )
+            for i in np.flatnonzero(pidx[:nn] >= 0):
+                lmp = int(loop_mp_ids[i])
+                f = int(pidx[i])
+                old = int(m.kf_feat_mp[k, f])
+                if old == lmp or not m.mp_valid[lmp]:
+                    continue
+                if old >= 0 and m.mp_valid[old]:
+                    m.replace_map_point(old, lmp)
+                else:
+                    m.kf_feat_mp[k, f] = lmp
+                    m.mp_n_obs[lmp] += 1
+            m._update_covisibility(k)
+        self.loop_edges.append((int(kf), int(loop_kf)))
+        self.last_loop_seq = int(m.kf_seq[kf])
+        self.stats["fuse_only"] = self.stats.get("fuse_only", 0) + 1
+        self.stats["closed"] += 1

@@ -353,6 +353,9 @@ class SlamSystem:
             "ts": float(timestamp),
             "fid": self.frame_id,
             "epoch": self._snap_epoch,
+            "snap_ids": (
+                self._snap_pt_ids, self._snap_ml_ids, self._snap_il_ids
+            ),
             # Device pose passed to the next dispatch even if this frame is
             # finished (and possibly retried) before then.
             "pose_hint": out.T_cw,
@@ -366,7 +369,7 @@ class SlamSystem:
     def _finish_pipelined(self, item) -> np.ndarray:
         hf = self._finish_frame(
             item["out"], item["gray_d"], item["depth_d"], item["ts"],
-            item["fid"], item["epoch"],
+            item["fid"], item["epoch"], item["snap_ids"],
         )
         self._commit_frame(hf)
         return hf.T_cw
@@ -463,17 +466,23 @@ class SlamSystem:
 
     def _finish_frame(
         self, out, gray_d, depth_d, timestamp: float, frame_id: int,
-        epoch: int,
+        epoch: int, snap_ids=None,
     ) -> HostFrame:
         """Consume one frame_step result: fetch the summary, retry with the
         widened window (Tracking.cc:1198-1203) and the un-windowed
         reference-KF search (TrackReferenceKeyFrame, Tracking.cc:880) when
         inliers are scarce, update the state machine, and run the keyframe
-        policy. ``epoch`` is the snapshot generation the dispatch used —
-        results from a superseded snapshot keep their pose but their
-        slot-indexed outputs (matches, accumulators) are not folded."""
+        policy. ``epoch`` is the snapshot generation the dispatch used and
+        ``snap_ids`` that generation's (pt, ml, il) id arrays — a frame
+        from a superseded snapshot still keeps its pose and can become a
+        keyframe (its matches resolve through its own ids, stale entries
+        masked by landmark validity), but its accumulators are dropped."""
         cfg = self.cfg
         cfg_t = cfg.tracking
+        if snap_ids is None:
+            snap_ids = (
+                self._snap_pt_ids, self._snap_ml_ids, self._snap_il_ids
+            )
         summary = np.asarray(out.summary)
         # Retry gate: the reference demands >= 30 TrackLocalMap inliers
         # before trusting a pose (Tracking.cc:1400-1406).
@@ -488,6 +497,9 @@ class SlamSystem:
             s2 = np.asarray(out2.summary)
             if s2[fstep.S_INLIERS] > summary[fstep.S_INLIERS]:
                 out, summary, epoch = out2, s2, self._snap_epoch
+                snap_ids = (
+                    self._snap_pt_ids, self._snap_ml_ids, self._snap_il_ids
+                )
         if summary[fstep.S_INLIERS] < retry_th:
             fb = self._fallback_ref_kf(gray_d, depth_d, out)
             if fb is not None and (
@@ -496,6 +508,9 @@ class SlamSystem:
             ):
                 out, summary = fb
                 epoch = self._snap_epoch
+                snap_ids = (
+                    self._snap_pt_ids, self._snap_ml_ids, self._snap_il_ids
+                )
 
         hf = HostFrame(
             frame_id=frame_id,
@@ -523,10 +538,8 @@ class SlamSystem:
             # mode so the caller/metrics can see it. KF insertion and every
             # backend stage stay frozen (System.cc:270-283).
             self._vo_mode = n_inliers < 20
-        elif epoch == self._snap_epoch and self._need_new_keyframe(
-            hf, summary
-        ):
-            self._materialize_host_frame(hf, out)
+        elif self._need_new_keyframe(hf, summary):
+            self._materialize_host_frame(hf, out, snap_ids)
             self._create_keyframe(hf)
             self._rebuild_snapshot()
         return hf
@@ -560,10 +573,19 @@ class SlamSystem:
         )
         return out2, np.asarray(out2.summary)
 
-    def _materialize_host_frame(self, hf: HostFrame, out):
+    def _materialize_host_frame(self, hf: HostFrame, out, snap_ids=None):
         """Fetch the frame's feature arrays + associations from the device
         in ONE batched transfer (keyframe insertion only — Frame arrays
-        never cross to the host on ordinary frames)."""
+        never cross to the host on ordinary frames). ``snap_ids`` are the
+        id arrays of the snapshot the frame was DISPATCHED against (may be
+        one generation behind in pipelined mode); associations to landmarks
+        culled since then are masked out by validity."""
+        m_ = self.map
+        if snap_ids is None:
+            snap_ids = (
+                self._snap_pt_ids, self._snap_ml_ids, self._snap_il_ids
+            )
+        pt_ids_s, ml_ids_s, il_ids_s = snap_ids
         fd = out.fd
         use_lines = self.cfg.use_lines and out.fl is not None
         pack = [fd.uv, fd.ur, fd.depth, fd.xyz_c, fd.level, fd.angle,
@@ -576,9 +598,9 @@ class SlamSystem:
         (hf.uv, hf.ur, hf.depth, hf.xyz_c, hf.level, hf.angle, hf.desc,
          hf.valid, mp, inl) = got[:10]
         hf.feat_mp = np.full(len(hf.valid), -1, np.int32)
-        n = len(self._snap_pt_ids)
-        good = (mp[:n] >= 0) & inl[:n]
-        hf.feat_mp[mp[:n][good]] = self._snap_pt_ids[good]
+        n = len(pt_ids_s)
+        good = (mp[:n] >= 0) & inl[:n] & m_.mp_valid[pt_ids_s]
+        hf.feat_mp[mp[:n][good]] = pt_ids_s[good]
         if use_lines:
             (hf.line_sp, hf.line_ep, hf.line_desc, hf.line_valid,
              hf.line_p3s, hf.line_p3e, hf.line_ok3d, lm, qm) = got[10:]
@@ -587,13 +609,14 @@ class SlamSystem:
             # reads every field; one batched fetch beats ~11 leaf fetches).
             hf.lil = jax.device_get(fl.lil)
             hf.lil_il = np.full(self.cfg.caps.frame_lils, -1, np.int32)
-            nl = len(self._snap_ml_ids)
-            src = np.flatnonzero(lm[:nl] >= 0)
-            hf.line_ml[lm[:nl][src]] = self._snap_ml_ids[src]
+            nl = len(ml_ids_s)
+            src = np.flatnonzero((lm[:nl] >= 0) & m_.ml_valid[ml_ids_s])
+            hf.line_ml[lm[:nl][src]] = ml_ids_s[src]
             if self.cfg.use_lils:
-                nq = len(self._snap_il_ids)
+                nq = len(il_ids_s)
                 ok = (qm >= 0) & (qm < nq)
-                hf.lil_il[ok] = self._snap_il_ids[qm[ok]]
+                ok[ok] = m_.il_valid[il_ids_s[qm[ok]]]
+                hf.lil_il[ok] = il_ids_s[qm[ok]]
 
     def _need_new_keyframe(self, hf: HostFrame, summary) -> bool:
         """NeedNewKeyFrame (Tracking.cc:1410-1515), RGB-D branch, computed

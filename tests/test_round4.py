@@ -294,3 +294,68 @@ class TestMonocular:
         gt = trajectory_positions(poses_gt)
         ate = ate_rmse(est, gt[: len(est)], with_scale=True)
         assert ate < 0.08, f"mono ATE (scale-aligned) {ate:.4f} m"
+
+
+class TestLineThresholdSensitivity:
+    def test_desc_th_not_knife_edge(self):
+        """r3 weak #8: the line-matching descriptor gate (DESC_TH on the
+        [0,4] squared-L2 scale) is calibrated on synthetic data; verify the
+        operating point is on a plateau — +-25% threshold shifts must not
+        collapse match count or correctness on a ground-truthed pair."""
+        import jax.numpy as jnp
+
+        from pslam_tpu.io.synthetic import render_sequence
+        from pslam_tpu.ops.line_match import DESC_TH, match_lines_f2f
+        from pslam_tpu.pipeline.frame_ops import make_frame_lines
+
+        cfg = SlamConfig()
+        cam = cfg.camera
+        grays, depths, poses = render_sequence(cam, n_frames=2, seed=8)
+        fl0 = make_frame_lines(
+            jnp.asarray(grays[0]), jnp.asarray(depths[0]), cam, cfg.lines
+        )
+        fl1 = make_frame_lines(
+            jnp.asarray(grays[1]), jnp.asarray(depths[1]), cam, cfg.lines
+        )
+
+        # Ground truth: project frame-0 3D midpoints into frame 1; a match
+        # is correct when the matched segment lies near that projection.
+        T01 = poses[1] @ np.linalg.inv(poses[0])
+        mid0 = 0.5 * (np.asarray(fl0.p3s) + np.asarray(fl0.p3e))
+        ok3 = np.asarray(fl0.ok3d) & np.asarray(fl0.valid)
+        mid1 = mid0 @ T01[:3, :3].T + T01[:3, 3]
+        z = np.maximum(mid1[:, 2], 1e-9)
+        u = cam.fx * mid1[:, 0] / z + cam.cx
+        v = cam.fy * mid1[:, 1] / z + cam.cy
+
+        sp1 = np.asarray(fl1.sp)
+        ep1 = np.asarray(fl1.ep)
+
+        def correct_count(th):
+            idx, _ = match_lines_f2f(
+                fl0.desc, fl0.sp, fl0.ep, fl0.valid,
+                fl1.desc, fl1.sp, fl1.ep, fl1.valid,
+                float(cam.width), float(cam.height), max_dist=th,
+            )
+            idx = np.asarray(idx)
+            good = 0
+            for i in np.flatnonzero((idx >= 0) & ok3):
+                j = idx[i]
+                m1 = 0.5 * (sp1[j] + ep1[j])
+                # Distance from the projected midpoint to the matched
+                # segment's midpoint, along the segment normal (endpoints
+                # slide along the line between detections).
+                d = ep1[j] - sp1[j]
+                nrm = np.array([-d[1], d[0]])
+                nrm = nrm / max(np.linalg.norm(nrm), 1e-9)
+                perp = abs((np.array([u[i], v[i]]) - m1) @ nrm)
+                if perp < 12.0:
+                    good += 1
+            return good
+
+        base = correct_count(DESC_TH)
+        lo = correct_count(DESC_TH * 0.75)
+        hi = correct_count(DESC_TH * 1.25)
+        assert base >= 10, f"too few correct line matches at default: {base}"
+        assert lo >= 0.6 * base, (lo, base)
+        assert hi >= 0.8 * base, (hi, base)
