@@ -161,7 +161,9 @@ def test_rgbd_tum_app_distorted_ate(tmp_path, monkeypatch):
     root = tmp_path / "seq"
     os.makedirs(root / "rgb")
     os.makedirs(root / "depth")
-    n = 8
+    # 12 frames over the arc: the whole-arc trajectory is rendered at n
+    # frames, so small n means violent inter-frame motion.
+    n = 12
     grays, depths, poses_gt = render_sequence(
         cam, n_frames=n, seed=4, use_distortion=True
     )
