@@ -1,11 +1,12 @@
 """Host-side line & structural-line bookkeeping.
 
-The numpy complement of ops/line_match.py + solver/ba_lil.py: plane
-association of frame LILs against the map (Map::AssociatePlanesByBoundary,
-reference src/Map.cc:204-272), map-line/LIL creation at keyframes
-(CreateNewKeyFrame line path, Tracking.cc:1516-1605; insectline.cc ctor),
-LIL-edge assembly for local BA (Optimizer.cc:2274-2346), and line/LIL
-culling (LocalMapping::MapLineCulling, LocalMapping.cc:237-273).
+The numpy complement of ops/line_match.py + solver/ba_lil.py: map-line/LIL
+creation at keyframes (CreateNewKeyFrame line path, Tracking.cc:1516-1605;
+insectline.cc ctor), LIL-edge assembly for local BA (Optimizer.cc:2274-2346),
+and line/LIL culling (LocalMapping::MapLineCulling, LocalMapping.cc:237-273).
+Per-frame plane association and local map-line matching
+(Map::AssociatePlanesByBoundary, LSDmatcher::SearchByProjection) live on
+the device inside pipeline/frame_step.py.
 """
 
 from __future__ import annotations
@@ -40,41 +41,6 @@ def world_plane(plane_c: np.ndarray, T_cw: np.ndarray) -> np.ndarray:
     flip = pl[..., 3] < 0
     pl[flip] = -pl[flip]
     return pl.astype(np.float32)
-
-
-def associate_planes(
-    m: MapState, lil_state_c, lil_plane_c, lil_valid, T_cw, cfg: SlamConfig
-):
-    """Frame LILs -> map InsectLines by plane similarity.
-
-    Returns (il_id (QF,) int32, -1 where unassociated). Gates: normal |cos|
-    > a_th and mean |signed point-plane distance| of the frame LIL's five
-    world points to the map plane < d_th; best (smallest distance) wins
-    (Map.cc:227-259).
-    """
-    QF = lil_valid.shape[0]
-    out = np.full(QF, -1, np.int32)
-    il_ids = np.flatnonzero(m.il_valid)
-    fsel = np.flatnonzero(lil_valid)
-    if len(il_ids) == 0 or len(fsel) == 0:
-        return out
-
-    pl_f = world_plane(lil_plane_c[fsel], T_cw)  # (F, 4)
-    pts_w = world_points_of_lil(lil_state_c[fsel], T_cw).reshape(-1, 5, 3)
-
-    pl_m = m.il_plane[il_ids]  # (M, 4)
-    cos = np.abs(pl_f[:, :3] @ pl_m[:, :3].T)  # (F, M)
-    # Mean |n_m . p + d_m| over the 5 structure points.
-    d = np.abs(
-        np.einsum("fpj,mj->fpm", pts_w, pl_m[:, :3]) + pl_m[None, None, :, 3]
-    ).mean(axis=1)  # (F, M)
-
-    ok = (cos > cfg.plane_assoc.a_th) & (d < cfg.plane_assoc.d_th)
-    d_masked = np.where(ok, d, np.inf)
-    best = np.argmin(d_masked, axis=1)
-    has = np.isfinite(d_masked[np.arange(len(fsel)), best])
-    out[fsel[has]] = il_ids[best[has]]
-    return out
 
 
 def lil_obs8(lil) -> np.ndarray:
@@ -191,70 +157,6 @@ def assemble_lil_edges(m: MapState, cam_ids, cfg: SlamConfig):
     return lil_state, lil_valid, edges, pad(il_ids, (Qmax,), -1)
 
 
-def _project_lines_to_view(cam, T_cw: np.ndarray, pos_w: np.ndarray):
-    """World 6-DoF segments (M, 6) -> projected 2D endpoints + positive-depth
-    mask in the view with pose T_cw (host numpy)."""
-    R, t = T_cw[:3, :3], T_cw[:3, 3]
-    sp_c = pos_w[:, :3] @ R.T + t
-    ep_c = pos_w[:, 3:] @ R.T + t
-    ok = (sp_c[:, 2] > 0.05) & (ep_c[:, 2] > 0.05)
-
-    def proj(X):
-        z = np.maximum(X[:, 2], 1e-9)
-        return np.stack(
-            [cam.fx * X[:, 0] / z + cam.cx, cam.fy * X[:, 1] / z + cam.cy],
-            axis=-1,
-        ).astype(np.float32)
-
-    return proj(sp_c), proj(ep_c), ok
-
-
-def match_map_lines_to_view(
-    m: MapState, ml_ids: np.ndarray, T_cw: np.ndarray,
-    f_sp, f_ep, f_desc, f_valid, cfg: SlamConfig, radius: float = 8.0,
-):
-    """Project map lines into a view and match them against its line features
-    (LSDmatcher::SearchByProjection, add_src/LSDmatcher.cpp:112-260).
-    Returns (idx (M,) frame-line slot or -1, visible (M,) frustum mask)."""
-    import jax.numpy as jnp
-
-    from pslam_tpu.ops.line_match import match_lines_projection
-
-    cap = 1 << max(6, int(np.ceil(np.log2(max(len(ml_ids), 1)))))
-
-    def pad(a, fill=0):
-        out = np.full((cap,) + a.shape[1:], fill, a.dtype)
-        out[: len(a)] = a
-        return out
-
-    sp2, ep2, okz = _project_lines_to_view(cfg.camera, T_cw, m.ml_pos[ml_ids])
-    W, H = cfg.camera.width, cfg.camera.height
-    in_img = (
-        (sp2[:, 0] > -50) & (sp2[:, 0] < W + 50)
-        & (sp2[:, 1] > -50) & (sp2[:, 1] < H + 50)
-    )
-    # Distance band + viewing angle (SearchByProjection's isInFrustum-style
-    # gates, LSDmatcher.cpp:139-160), from the per-observation stats.
-    C = -(T_cw[:3, :3].T @ T_cw[:3, 3])
-    mid = 0.5 * (m.ml_pos[ml_ids, :3] + m.ml_pos[ml_ids, 3:])
-    om = mid - C[None, :]
-    dist = np.linalg.norm(om, axis=1)
-    band = (dist >= 0.8 * m.ml_min_dist[ml_ids]) & (
-        dist <= 1.2 * m.ml_max_dist[ml_ids]
-    )
-    viewcos = np.einsum("ij,ij->i", om, m.ml_normal[ml_ids]) / np.maximum(
-        dist, 1e-9
-    )
-    vmask = okz & in_img & band & (viewcos > 0.5) & m.ml_valid[ml_ids]
-    idx, _ = match_lines_projection(
-        jnp.asarray(pad(sp2)), jnp.asarray(pad(ep2)),
-        None, jnp.asarray(pad(m.ml_desc[ml_ids])), jnp.asarray(pad(vmask)),
-        jnp.asarray(f_sp), jnp.asarray(f_ep), jnp.asarray(f_desc),
-        jnp.asarray(f_valid), radius,
-    )
-    return np.asarray(idx)[: len(ml_ids)], vmask
-
-
 def local_map_lines(m: MapState, kf_ids, cap: int = 512) -> np.ndarray:
     """Union of map lines observed by the given KFs (UpdateLocalLines,
     Tracking.cc:1887-1903)."""
@@ -266,36 +168,6 @@ def local_map_lines(m: MapState, kf_ids, cap: int = 512) -> np.ndarray:
     if len(ml) > cap:
         ml = ml[np.argsort(-m.ml_n_obs[ml])[:cap]]
     return ml.astype(np.int32)
-
-
-def track_local_map_lines(system, hf, T_cw: np.ndarray) -> int:
-    """SearchLocalLines (Tracking.cc:1754-1838): project the local map's
-    lines into the current frame, match, and record associations on the
-    frame so they survive into keyframe creation."""
-    m = system.map
-    kf_ids = system._local_keyframes()
-    ml_ids = local_map_lines(m, kf_ids)
-    if len(ml_ids) == 0:
-        return 0
-    idx, vis = match_map_lines_to_view(
-        m, ml_ids, T_cw, hf.line_sp, hf.line_ep, hf.line_desc, hf.line_valid,
-        system.cfg,
-    )
-    got = (idx >= 0) & (hf.line_ml[np.maximum(idx, 0)] < 0)
-    sel = np.flatnonzero(got)
-    hf.line_ml[idx[sel]] = ml_ids[sel]
-    # Found/visible accounting (MapLine::IncreaseVisible/IncreaseFound via
-    # SearchLocalLines + TrackLocalMap, Tracking.cc:1754-1838, 1341-1396):
-    # every frustum-visible local line counts as visible; every line the
-    # frame ends up holding (f2f-inherited OR freshly matched) counts as
-    # found. The f2f path itself increments nothing (the r3 double-increment
-    # made the 0.25 cull ratio unreachable from that path).
-    np.add.at(m.ml_visible, ml_ids[vis], 1)
-    held = np.unique(hf.line_ml[hf.line_ml >= 0])
-    carried = held[~np.isin(held, ml_ids[vis])]
-    np.add.at(m.ml_visible, carried, 1)
-    np.add.at(m.ml_found, held, 1)
-    return len(sel)
 
 
 def _desc_dist2_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
