@@ -73,6 +73,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from pslam_tpu.utils.backend import enable_compile_cache
+
+    enable_compile_cache()
+
     from pslam_tpu.io.synthetic import render_sequence
     from pslam_tpu.pipeline import frame_step as fstep
     from pslam_tpu.pipeline.system import SlamSystem

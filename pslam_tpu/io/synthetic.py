@@ -254,6 +254,56 @@ class ClosedRoom(BoxRoom):
         return gray.astype(np.float32), depth.astype(np.float32)
 
 
+def panel_texture(size: int = 1024, n_rows: int = 4, n_cols: int = 4,
+                  seed: int = 0, noise: float = 1.5):
+    """Low-texture wall: a few LARGE uniform panels with high-contrast
+    straight borders (the fr3_structure_notexture analogue, BASELINE
+    config 2). Panel interiors are near-constant (FAST finds nothing
+    there); the only corners are the sparse panel crossings, while every
+    border is a long straight edge — and the horizontal/vertical border
+    pairs are exactly the coplanar intersecting line pairs that become
+    LILs. Irregular panel boundaries + per-panel random intensities keep
+    the few corners descriptively distinct (no grid aliasing). ``noise``
+    adds faint jitter so the texture is not numerically degenerate."""
+    rng = np.random.default_rng(seed)
+    # Random interior boundaries on a 16-cell lattice; checkerboard-ish
+    # alternation guarantees >= 40 gray-level contrast across every border.
+    rbounds = np.r_[0, np.sort(
+        rng.choice(np.arange(2, 15), n_rows - 1, replace=False)
+    ) * size // 16, size]
+    cbounds = np.r_[0, np.sort(
+        rng.choice(np.arange(2, 15), n_cols - 1, replace=False)
+    ) * size // 16, size]
+    tex = np.empty((size, size), np.float32)
+    for i in range(n_rows):
+        for j in range(n_cols):
+            base = (
+                rng.uniform(55, 105) if (i + j) % 2 == 0
+                else rng.uniform(155, 205)
+            )
+            tex[rbounds[i]: rbounds[i + 1], cbounds[j]: cbounds[j + 1]] = base
+    tex += rng.normal(0.0, noise, tex.shape).astype(np.float32)
+    return np.clip(tex, 0, 255).astype(np.float32)
+
+
+class LowTextureRoom(BoxRoom):
+    """Box room whose walls carry only large uniform panels: long straight
+    high-contrast borders but only a handful of corners (the panel
+    crossings) — the scene class where point-only tracking starves and the
+    structural-line (LIL) path has to carry the solve (reference
+    README.md:4 low-texture claim; BASELINE config 2
+    fr3_structure_notexture)."""
+
+    panels: int = 4
+
+    def __post_init__(self):
+        s = self.tex_size
+        p = self.panels
+        self.textures = [
+            panel_texture(s, p, p, self.seed + i) for i in range(4)
+        ]
+
+
 def render_sequence(
     cam,
     n_frames: int = 30,

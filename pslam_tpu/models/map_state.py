@@ -78,6 +78,13 @@ class MapState:
         self.mp_n_obs = np.zeros(P, np.int32)
         self.mp_visible = np.zeros(P, np.int32)  # MapPoint::mnVisible
         self.mp_found = np.zeros(P, np.int32)  # MapPoint::mnFound
+        # Per-slot allocation generation, bumped every time the slot is
+        # (re)allocated. Snapshots capture (id, gen) pairs; a consumer of a
+        # stale snapshot must require gen equality, because a slot culled
+        # and recycled since the snapshot is valid again but holds a
+        # DIFFERENT landmark (ADVICE r4 medium: mp_valid alone is not
+        # enough).
+        self.mp_gen = np.zeros(P, np.int64)
         self._mp_free_head = 0
 
         # Covisibility counts (shared map-point observations).
@@ -100,6 +107,7 @@ class MapState:
         self.ml_normal = np.zeros((ML, 3), np.float32)
         self.ml_min_dist = np.zeros(ML, np.float32)
         self.ml_max_dist = np.full(ML, 1e9, np.float32)
+        self.ml_gen = np.zeros(ML, np.int64)  # slot generation (see mp_gen)
         self._ml_free_head = 0
         # Per-KF line features + observations (map-line id per line slot).
         self.kf_line_sp = np.zeros((K, NL, 2), np.float32)
@@ -127,6 +135,7 @@ class MapState:
         self.il_first_seq = np.full(Q, -1, np.int64)
         self.il_n_obs = np.zeros(Q, np.int32)  # KF observations
         self.il_frame_obs = np.zeros(Q, np.int32)  # AddFrameObservation count
+        self.il_gen = np.zeros(Q, np.int64)  # slot generation (see mp_gen)
         self._il_free_head = 0
         # Per-KF LIL observations: map-LIL id + the 8-d measurement
         # [eq1, eq2, cross2d] per frame-LIL slot (KeyFrame mvle_l /
@@ -174,7 +183,9 @@ class MapState:
                 range(self._mp_free_head, self._mp_free_head + remaining)
             )
             self._mp_free_head += remaining
-        return np.asarray(ids, np.int32)
+        out = np.asarray(ids, np.int32)
+        self.mp_gen[out] += 1
+        return out
 
     # ------------------------------------------------------------------
     # Keyframe insertion
@@ -192,21 +203,17 @@ class MapState:
         else:
             k = self.n_kf
             if k >= self.kf_valid.shape[0]:
-                # Callers should evict beforehand (SlamSystem evicts the
-                # most redundant KF); this is the last-resort backstop so a
-                # long corridor run degrades instead of dying.
-                live = np.flatnonzero(self.kf_valid)
-                cand = live[live != self.last_kf]
-                cand = cand[cand != 0]
-                k = int(cand[np.argmax(self.covis[cand].max(axis=1))])
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "keyframe capacity: evicting most-redundant KF %d", k
+                # The map CANNOT safely evict by itself: erasing a KF here
+                # would skip the system-level bookkeeping (trajectory
+                # retargeting, BoW-database erase, ref/loop-edge protection)
+                # and leave trajectory rows chaining against a recycled
+                # slot's pose (ADVICE r4). SlamSystem._evict_for_capacity
+                # must run first; if it couldn't free a slot, fail loudly.
+                raise RuntimeError(
+                    "keyframe capacity exhausted and no slot was evicted; "
+                    "eviction must go through SlamSystem._evict_for_capacity"
                 )
-                self.erase_keyframe(k)
-            else:
-                self.n_kf += 1
+            self.n_kf += 1
         self.last_kf = k
         self.kf_seq[k] = self.next_kf_seq
         self.next_kf_seq += 1
@@ -333,6 +340,7 @@ class MapState:
         (MapLine creation in CreateNewKeyFrame / LocalMapping)."""
         ids = self._alloc(self.ml_valid, "_ml_free_head", len(line_slots),
                           n_obs=self.ml_n_obs, cull=self.cull_map_lines)
+        self.ml_gen[ids] += 1
         self.ml_valid[ids] = True
         self.ml_pos[ids] = pos_w
         self.ml_desc[ids] = desc
@@ -454,6 +462,7 @@ class MapState:
         (mbNewPlane path; insectline.cc ctor)."""
         ids = self._alloc(self.il_valid, "_il_free_head", len(lil_slots),
                           n_obs=self.il_n_obs, cull=self.cull_lils)
+        self.il_gen[ids] += 1
         self.il_valid[ids] = True
         self.il_state[ids] = state_w
         self.il_plane[ids] = plane_w

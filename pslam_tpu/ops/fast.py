@@ -69,9 +69,14 @@ def fast_score_dual(stack, th_hi: int, th_lo: int):
     time — nothing with a leading 16-axis is ever materialized (the r3
     version stacked (16, L, H, W) diffs/bools: ~600 MB of HBM traffic per
     frame; this form is ~10 arrays of (L, H, W)). The pass is HBM-bound, so
-    it runs in bfloat16: integer intensities <= 255 and their differences
-    are exact in bf16 (8-bit mantissa), and the ranking score only loses
-    ~0.4% rounding noise on its partial sums.
+    it runs in bfloat16. Level-0 pixels are integers <= 255 whose
+    differences are exact in bf16; HIGHER pyramid levels are resampled/
+    blurred floats, where the bf16 cast (~2^-8 relative rounding) can flip
+    a comparison whose |diff| sits within rounding distance of the
+    threshold — the measured flip rate on interpolated levels is a small
+    fraction of a percent of corner decisions
+    (tests/test_round5.py::test_fast_bf16_flip_rate), which the downstream
+    top-k ranking and matching absorb.
     """
     out_dtype = stack.dtype
     stack = stack.astype(jnp.bfloat16)

@@ -90,8 +90,14 @@ def build_pyramid(img, levels: int = PYR_LEVELS, scale: float = PYR_SCALE):
         for l, (hl, wl) in enumerate(shapes):
             masks[l, :hl, :wl] = True
         valid = jnp.asarray(masks)
+    # Explicit HIGHEST so the exact-f32 resample survives import paths that
+    # bypass pslam_tpu/__init__.py's global jax_default_matmul_precision
+    # override (the TPU MXU's fast f32 path multiplies in bf16, which would
+    # make the pyramid — and every descriptor downstream — diverge from the
+    # CPU-exact result).
     stack = jnp.einsum(
-        "lyh,hw,lxw->lyx", R, img, C, preferred_element_type=jnp.float32
+        "lyh,hw,lxw->lyx", R, img, C, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     level_scale = jnp.asarray([scale**l for l in range(levels)], img.dtype)
     return stack, level_scale, valid

@@ -122,12 +122,20 @@ def extract_patches(stack, uv_lvl, level, size: int = PATCH):
     rows = flat[row_idx]  # (N, size, w)
     col = x0[:, None, None] + jnp.arange(size)[None, None, :]
     onehot = (jnp.arange(w)[None, :, None] == col).astype(stack.dtype)
+    # One nonzero per contraction row -> the "sum" is a single product of
+    # the pixel value with 1.0: exact at any MXU input precision (incl.
+    # bf16 stacks), so no HIGHEST-precision multi-pass is needed.
+    precision = (
+        jax.lax.Precision.DEFAULT
+        if stack.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
     return jnp.einsum(
         "nrw,nwj->nrj",
         rows,
         onehot,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
 
 
@@ -335,7 +343,7 @@ def detect_keypoints(stack, cfg: OrbConfig, h: int, w: int):
         resp.append(v_l)
     uv_lvl = jnp.concatenate(uv_lvl).astype(jnp.float32)  # (N, 2) canvas coords
     level = jnp.concatenate(level_arr)
-    response = jnp.concatenate(resp)
+    response = jnp.concatenate(resp).astype(jnp.float32)
     return uv_lvl, level, response
 
 
@@ -349,7 +357,16 @@ def extract_orb(img, cfg: OrbConfig = OrbConfig()) -> OrbFeatures:
     # resize chain into every downstream gather (descriptor sampling went
     # 0.3ms -> 530ms when fused on TPU).
     stack = jax.lax.optimization_barrier(stack)
-    uv_lvl, level, response = detect_keypoints(stack, cfg, h, w)
+    # The DETECTION half (FAST, NMS, cell top-k) is HBM-bound on (L, H, W)
+    # canvases; bf16 halves that traffic. Corner decisions are threshold
+    # comparisons and scores only rank (see fast_score_dual's flip-rate
+    # note). The DESCRIPTOR half (blur, patches, BRIEF bits) stays f32:
+    # bf16 blur accumulation measurably degrades descriptor
+    # distinctiveness, which the large-motion unwindowed fallback
+    # (track_ops.track_against_points_unwindowed) depends on.
+    uv_lvl, level, response = detect_keypoints(
+        stack.astype(jnp.bfloat16), cfg, h, w
+    )
     valid = response > 0.0
 
     # --- orientation + descriptors from ONE patch extraction --------------

@@ -184,14 +184,15 @@ def _kf_view(m: MapState, k: int, free_mask):
     )
 
 
-def create_new_map_points(m: MapState, kf: int, cfg: SlamConfig) -> int:
-    """Epipolar triangulation of new map points between the new KF and its
-    top-10 covisible neighbours (LocalMapping::CreateNewMapPoints,
+def dispatch_triangulation(m: MapState, kf: int, cfg: SlamConfig):
+    """Dispatch the epipolar triangulation of the new KF against its top-10
+    covisible neighbours (LocalMapping::CreateNewMapPoints,
     LocalMapping.cc:275-520 + ORBmatcher::SearchForTriangulation,
-    ORBmatcher.cc:657). ALL neighbour pairs ride one vmapped device
-    dispatch + one batched fetch; the host applies the per-neighbour
-    results greedily (a feature bound by an earlier neighbour is skipped
-    for later ones, matching the reference's sequential free-set update)."""
+    ORBmatcher.cc:657) WITHOUT fetching: returns a pending record whose
+    device handles are committed later (commit_triangulation). This is the
+    TPU analogue of the reference's LocalMapping-thread overlap
+    (System.cc:86-113): the keyframe's frame never blocks on the backend
+    device work. Returns None if there is nothing to triangulate."""
     from pslam_tpu.ops.triangulate import KFView, epipolar_triangulate_batch
 
     C_kf = m.kf_camera_center(kf)
@@ -203,10 +204,10 @@ def create_new_map_points(m: MapState, kf: int, cfg: SlamConfig) -> int:
         >= cfg.camera.baseline
     ]
     if len(neighbors) == 0:
-        return 0
+        return None
     free1 = (m.kf_feat_mp[kf] < 0) & m.kf_feat_valid[kf]
     if not free1.any():
-        return 0
+        return None
 
     # Pad the neighbour axis to a constant 10 (one compiled shape); pad
     # slots repeat the first neighbour with free=False, so they match
@@ -225,16 +226,43 @@ def create_new_map_points(m: MapState, kf: int, cfg: SlamConfig) -> int:
         desc=jnp.asarray(m.kf_desc[nb]),
         free=jnp.asarray(free2),
     )
-    idx2_b, X_w_b, ok_b = jax.device_get(
-        epipolar_triangulate_batch(
-            cfg.camera, _kf_view(m, kf, free1), views2,
-            cfg.orb.scale, cfg.orb.levels,
-        )
+    handles = epipolar_triangulate_batch(
+        cfg.camera, _kf_view(m, kf, free1), views2,
+        cfg.orb.scale, cfg.orb.levels,
     )
+    return {
+        "kf": kf,
+        "kf_seq": int(m.kf_seq[kf]),
+        "neighbors": neighbors,
+        "nb_seq": [int(m.kf_seq[n]) for n in neighbors],
+        "free1": free1,
+        "handles": handles,
+    }
+
+
+def commit_triangulation(m: MapState, pend, cfg: SlamConfig) -> int:
+    """Fetch + apply a dispatched triangulation (one batched transfer). The
+    map may have moved on since dispatch (a whole keyframe interval in the
+    async schedule): stale bindings are guarded by KF sequence checks and a
+    re-check that each feature slot is STILL free; the world positions were
+    computed with the poses at dispatch time, whose subsequent local-BA
+    delta is sub-millimetre (same temporal fuzz the reference's thread
+    split accepts). The host applies per-neighbour results greedily (a
+    feature bound by an earlier neighbour is skipped for later ones,
+    matching the reference's sequential free-set update)."""
+    kf = pend["kf"]
+    if not m.kf_valid[kf] or int(m.kf_seq[kf]) != pend["kf_seq"]:
+        return 0
+    idx2_b, X_w_b, ok_b = jax.device_get(pend["handles"])
+    free1 = pend["free1"] & (m.kf_feat_mp[kf] < 0)
 
     created_ids = []
-    for j, nkf in enumerate(neighbors):
+    for j, nkf in enumerate(pend["neighbors"]):
+        if not m.kf_valid[nkf] or int(m.kf_seq[nkf]) != pend["nb_seq"][j]:
+            continue  # neighbour culled (and possibly recycled) meanwhile
         ok = ok_b[j] & free1
+        # The neighbour-side feature must also still be unbound.
+        ok &= np.where(ok, m.kf_feat_mp[nkf][idx2_b[j]] < 0, False)
         sel1 = np.flatnonzero(ok)
         if len(sel1) == 0:
             continue
@@ -248,6 +276,12 @@ def create_new_map_points(m: MapState, kf: int, cfg: SlamConfig) -> int:
     m._update_covisibility(kf)
     m.update_point_stats(ids)
     return len(ids)
+
+
+def create_new_map_points(m: MapState, kf: int, cfg: SlamConfig) -> int:
+    """Synchronous dispatch+commit wrapper (tests / non-pipelined callers)."""
+    pend = dispatch_triangulation(m, kf, cfg)
+    return 0 if pend is None else commit_triangulation(m, pend, cfg)
 
 
 @partial(jax.jit, static_argnames=("cam", "scale", "levels"))
@@ -297,14 +331,15 @@ def _fuse_match_kernel(
     return jnp.where((idx >= 0) & (chi <= chi_th), idx, -1)
 
 
-def _fuse_into_kf(m: MapState, t: int, cand_ids: np.ndarray, cfg: SlamConfig):
-    """Fuse candidate map points into KF ``t``'s features: replace-or-add
-    (ORBmatcher::Fuse apply rule, ORBmatcher.cc:920-941)."""
+def _dispatch_fuse_into_kf(
+    m: MapState, t: int, cand_ids: np.ndarray, cfg: SlamConfig
+):
+    """Dispatch (no fetch) the projection-fuse match of candidate map points
+    into KF ``t``'s features. Returns (device handle (cap,), cap)."""
     cap = 1 << max(6, int(np.ceil(np.log2(max(len(cand_ids), 1)))))
     pad = lambda a, shape, fill=0: np.concatenate(  # noqa: E731
         [a, np.full((shape - len(a),) + a.shape[1:], fill, a.dtype)]
     )
-    n = len(cand_ids)
     idx = _fuse_match_kernel(
         cfg.camera,
         jnp.asarray(m.kf_pose[t]),
@@ -323,17 +358,29 @@ def _fuse_into_kf(m: MapState, t: int, cand_ids: np.ndarray, cfg: SlamConfig):
         cfg.orb.scale,
         cfg.orb.levels,
     )
-    idx = np.asarray(idx)[:n]
+    return idx, cap
+
+
+def _fuse_into_kf(m: MapState, t: int, cand_ids: np.ndarray, cfg: SlamConfig):
+    """Fuse candidate map points into KF ``t``'s features: replace-or-add
+    (ORBmatcher::Fuse apply rule, ORBmatcher.cc:920-941)."""
+    handle, _ = _dispatch_fuse_into_kf(m, t, cand_ids, cfg)
+    idx = np.asarray(handle)[: len(cand_ids)]
     return _apply_fuse(m, t, cand_ids, idx)
 
 
-def _apply_fuse(m: MapState, t: int, cand_ids, idx):
+def _apply_fuse(m: MapState, t: int, cand_ids, idx, cand_gen=None):
     """Apply one target's fuse matches: replace-or-add
-    (ORBmatcher::Fuse apply rule, ORBmatcher.cc:920-941)."""
+    (ORBmatcher::Fuse apply rule, ORBmatcher.cc:920-941). ``cand_gen``
+    (same shape as cand_ids) guards deferred application: a candidate slot
+    culled AND recycled since the match kernel ran holds a different
+    landmark and is skipped."""
     n_fused = 0
     for p_slot in np.flatnonzero(idx >= 0):
         p_id = int(cand_ids[p_slot])
         if not m.mp_valid[p_id]:
+            continue
+        if cand_gen is not None and m.mp_gen[p_id] != cand_gen[p_slot]:
             continue
         f = int(idx[p_slot])
         existing = int(m.kf_feat_mp[t, f])
@@ -345,18 +392,25 @@ def _apply_fuse(m: MapState, t: int, cand_ids, idx):
                 m.replace_map_point(p_id, existing)
             else:
                 m.replace_map_point(existing, p_id)
+        elif p_id in m.kf_feat_mp[t]:
+            # Re-check against the CURRENT row: a replace_map_point for an
+            # earlier candidate may have rewritten this KF's observations
+            # since the match kernel ran; binding p_id to a second feature
+            # slot would double-count the (KF, point) pair (ADVICE r4).
+            continue
         else:
             m.add_point_obs(t, [f], [p_id])
         n_fused += 1
     return n_fused
 
 
-def search_in_neighbors(m: MapState, kf: int, cfg: SlamConfig) -> int:
-    """Duplicate-landmark fusion with 1-hop + 2-hop covisible neighbours
-    (LocalMapping::SearchInNeighbors, LocalMapping.cc:761-891): fuse the new
-    KF's points into each target, then all target points into the new KF.
-    All forward targets ride ONE vmapped dispatch + one batched fetch (the
-    reference loops ~20 targets; each loop was a device round trip)."""
+def dispatch_fuse(m: MapState, kf: int, cfg: SlamConfig):
+    """Dispatch duplicate-landmark fusion with 1-hop + 2-hop covisible
+    neighbours (LocalMapping::SearchInNeighbors, LocalMapping.cc:761-891)
+    WITHOUT fetching: forward (the new KF's points into each target, one
+    vmapped dispatch) and reverse (all target points into the new KF, one
+    dispatch). Commit later with commit_fuse. Returns None if nothing to
+    fuse."""
     targets: list[int] = []
     for t in m.best_covisible(kf, 10):
         t = int(t)
@@ -367,12 +421,11 @@ def search_in_neighbors(m: MapState, kf: int, cfg: SlamConfig) -> int:
             if t2 != kf and t2 not in targets:
                 targets.append(t2)
     if not targets:
-        return 0
+        return None
 
     mp_kf = m.kf_feat_mp[kf]
     own = np.unique(mp_kf[mp_kf >= 0])
     own = own[m.mp_valid[own]]
-    n_fused = 0
 
     # Forward: the new KF's points into each target (batched over targets).
     fwd = []
@@ -386,6 +439,7 @@ def search_in_neighbors(m: MapState, kf: int, cfg: SlamConfig) -> int:
         own_t = own[~np.isin(own, row[row >= 0])]
         if len(own_t):
             fwd.append((t, own_t))
+    fwd_handle = cand_b = None
     if fwd:
         cap = 1 << max(
             6, int(np.ceil(np.log2(max(max(len(c) for _, c in fwd), 1))))
@@ -401,34 +455,30 @@ def search_in_neighbors(m: MapState, kf: int, cfg: SlamConfig) -> int:
         tgt = np.asarray(
             ([t for t, _ in fwd] + [fwd[0][0]] * B)[:B]
         )
-        idx_b = jax.device_get(
-            jax.vmap(
-                lambda T, pos, desc, lvl, mind, maxd, nrm, val, fuv, fur,
-                flvl, fdesc, fval: _fuse_match_kernel(
-                    cfg.camera, T, pos, desc, lvl, mind, maxd, nrm, val,
-                    fuv, fur, flvl, fdesc, fval,
-                    cfg.orb.scale, cfg.orb.levels,
-                )
-            )(
-                jnp.asarray(m.kf_pose[tgt]),
-                jnp.asarray(m.mp_pos[cand_b] * cvalid[..., None]),
-                jnp.asarray(m.mp_desc[cand_b] * cvalid[..., None]),
-                jnp.asarray(m.mp_level[cand_b] * cvalid),
-                jnp.asarray(m.mp_min_dist[cand_b] * cvalid),
-                jnp.asarray(
-                    np.where(cvalid, m.mp_max_dist[cand_b], 1e9)
-                ),
-                jnp.asarray(m.mp_normal[cand_b] * cvalid[..., None]),
-                jnp.asarray(cvalid),
-                jnp.asarray(m.kf_uv[tgt]),
-                jnp.asarray(m.kf_ur[tgt]),
-                jnp.asarray(m.kf_level[tgt]),
-                jnp.asarray(m.kf_desc[tgt]),
-                jnp.asarray(m.kf_feat_valid[tgt]),
+        fwd_handle = jax.vmap(
+            lambda T, pos, desc, lvl, mind, maxd, nrm, val, fuv, fur,
+            flvl, fdesc, fval: _fuse_match_kernel(
+                cfg.camera, T, pos, desc, lvl, mind, maxd, nrm, val,
+                fuv, fur, flvl, fdesc, fval,
+                cfg.orb.scale, cfg.orb.levels,
             )
+        )(
+            jnp.asarray(m.kf_pose[tgt]),
+            jnp.asarray(m.mp_pos[cand_b] * cvalid[..., None]),
+            jnp.asarray(m.mp_desc[cand_b] * cvalid[..., None]),
+            jnp.asarray(m.mp_level[cand_b] * cvalid),
+            jnp.asarray(m.mp_min_dist[cand_b] * cvalid),
+            jnp.asarray(
+                np.where(cvalid, m.mp_max_dist[cand_b], 1e9)
+            ),
+            jnp.asarray(m.mp_normal[cand_b] * cvalid[..., None]),
+            jnp.asarray(cvalid),
+            jnp.asarray(m.kf_uv[tgt]),
+            jnp.asarray(m.kf_ur[tgt]),
+            jnp.asarray(m.kf_level[tgt]),
+            jnp.asarray(m.kf_desc[tgt]),
+            jnp.asarray(m.kf_feat_valid[tgt]),
         )
-        for j, (t, c) in enumerate(fwd):
-            n_fused += _apply_fuse(m, t, cand_b[j], idx_b[j][: cap])
 
     # Reverse direction: candidates from all targets not yet seen by kf.
     cand = m.kf_feat_mp[np.asarray(targets)].reshape(-1)
@@ -436,14 +486,68 @@ def search_in_neighbors(m: MapState, kf: int, cfg: SlamConfig) -> int:
     cand = cand[m.mp_valid[cand]]
     seen = set(int(i) for i in m.kf_feat_mp[kf] if i >= 0)
     cand = np.asarray([c for c in cand if int(c) not in seen], np.int64)
+    rev_handle = None
     if len(cand):
-        n_fused += _fuse_into_kf(m, kf, cand, cfg)
+        rev_handle, cap_r = _dispatch_fuse_into_kf(m, kf, cand, cfg)
+    if fwd_handle is None and rev_handle is None:
+        return None
+    return {
+        "kf": kf,
+        "kf_seq": int(m.kf_seq[kf]),
+        "fwd": fwd,
+        "fwd_seq": [int(m.kf_seq[t]) for t, _ in fwd],
+        "cand_b": cand_b,
+        "cand_b_gen": None if cand_b is None else m.mp_gen[cand_b].copy(),
+        "fwd_handle": fwd_handle,
+        "own": own,
+        "rev_cand": cand,
+        "rev_gen": m.mp_gen[cand].copy() if len(cand) else None,
+        "rev_handle": rev_handle,
+    }
+
+
+def commit_fuse(m: MapState, pend, cfg: SlamConfig) -> int:
+    """Fetch + apply a dispatched fuse. Deferred application is guarded by
+    KF sequence checks (targets culled meanwhile) and per-candidate slot
+    generations (_apply_fuse cand_gen) — see dispatch_fuse."""
+    n_fused = 0
+    fwd_idx = rev_idx = None
+    fetch = [h for h in (pend["fwd_handle"], pend["rev_handle"]) if h is not None]
+    got = list(jax.device_get(tuple(fetch)))
+    if pend["fwd_handle"] is not None:
+        fwd_idx = got.pop(0)
+    if pend["rev_handle"] is not None:
+        rev_idx = got.pop(0)
+
+    if fwd_idx is not None:
+        for j, (t, c) in enumerate(pend["fwd"]):
+            if not m.kf_valid[t] or int(m.kf_seq[t]) != pend["fwd_seq"][j]:
+                continue
+            n_fused += _apply_fuse(
+                m, t, pend["cand_b"][j], fwd_idx[j],
+                cand_gen=pend["cand_b_gen"][j],
+            )
+    kf = pend["kf"]
+    kf_alive = m.kf_valid[kf] and int(m.kf_seq[kf]) == pend["kf_seq"]
+    if rev_idx is not None and kf_alive:
+        n = len(pend["rev_cand"])
+        n_fused += _apply_fuse(
+            m, kf, pend["rev_cand"], rev_idx[:n], cand_gen=pend["rev_gen"]
+        )
 
     if n_fused:
-        m._update_covisibility(kf)
+        if kf_alive:
+            m._update_covisibility(kf)
+        own, cand = pend["own"], pend["rev_cand"]
         touched = np.unique(np.concatenate([own, cand])) if len(cand) else own
         m.update_point_stats(touched)
     return n_fused
+
+
+def search_in_neighbors(m: MapState, kf: int, cfg: SlamConfig) -> int:
+    """Synchronous dispatch+commit wrapper (tests / non-pipelined callers)."""
+    pend = dispatch_fuse(m, kf, cfg)
+    return 0 if pend is None else commit_fuse(m, pend, cfg)
 
 
 def cull_keyframes(m: MapState, kf: int, cfg: SlamConfig, protect=()) -> list:

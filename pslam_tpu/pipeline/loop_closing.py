@@ -710,6 +710,13 @@ class LoopCloser:
                     continue
                 if old >= 0 and m.mp_valid[old]:
                     m.replace_map_point(old, lmp)
+                elif lmp in m.kf_feat_mp[k]:
+                    # KF k already observes this loop landmark through a
+                    # different feature slot (possibly via a replace above);
+                    # a second binding would double-count the (KF, point)
+                    # pair (ADVICE r4 — mirror replace_map_point's sees_new
+                    # guard).
+                    continue
                 else:
                     m.kf_feat_mp[k, f] = lmp
                     m.mp_n_obs[lmp] += 1

@@ -98,7 +98,18 @@ class SlamSystem:
         self._snap_pt_ids = np.zeros(0, np.int64)
         self._snap_ml_ids = np.zeros(0, np.int64)
         self._snap_il_ids = np.zeros(0, np.int64)
+        # Allocation generations captured WITH the ids (ADVICE r4 medium: a
+        # slot culled + recycled between snapshot build and consumption is
+        # valid again but holds a different landmark; gen mismatch masks it).
+        self._snap_pt_gen = np.zeros(0, np.int64)
+        self._snap_ml_gen = np.zeros(0, np.int64)
+        self._snap_il_gen = np.zeros(0, np.int64)
         self._pending_ba = None
+        # Async-dispatched KF backend (triangulation + fuse) committed at
+        # the NEXT keyframe event — completes the LocalMapping-thread
+        # analogue (System.cc:86-113): no frame blocks on backend device
+        # work (VERDICT r4 item 3).
+        self._pending_backend = None
         self._snap_epoch = 0
         self._fresh_acc = False
         self._inflight = None  # depth-1 pipelined frame (track_rgbd_pipelined)
@@ -353,9 +364,7 @@ class SlamSystem:
             "ts": float(timestamp),
             "fid": self.frame_id,
             "epoch": self._snap_epoch,
-            "snap_ids": (
-                self._snap_pt_ids, self._snap_ml_ids, self._snap_il_ids
-            ),
+            "snap_ids": self._snap_id_pack(),
             # Device pose passed to the next dispatch even if this frame is
             # finished (and possibly retried) before then.
             "pose_hint": out.T_cw,
@@ -475,19 +484,31 @@ class SlamSystem:
         policy. ``epoch`` is the snapshot generation the dispatch used and
         ``snap_ids`` that generation's (pt, ml, il) id arrays — a frame
         from a superseded snapshot still keeps its pose and can become a
-        keyframe (its matches resolve through its own ids, stale entries
-        masked by landmark validity), but its accumulators are dropped."""
+        keyframe (its matches resolve through its own (id, gen) pairs; slots
+        culled — or culled AND recycled — since then fail the generation
+        check), but its accumulators are dropped."""
         cfg = self.cfg
         cfg_t = cfg.tracking
         if snap_ids is None:
-            snap_ids = (
-                self._snap_pt_ids, self._snap_ml_ids, self._snap_il_ids
-            )
+            snap_ids = self._snap_id_pack()
         summary = np.asarray(out.summary)
-        # Retry gate: the reference demands >= 30 TrackLocalMap inliers
-        # before trusting a pose (Tracking.cc:1400-1406).
+        # Retry gates: the reference demands >= 30 TrackLocalMap inliers
+        # before trusting a pose (Tracking.cc:1400-1406) AND widens the
+        # motion window when the FIRST (motion-model) search found < 20
+        # matches (Tracking.cc:1198-1203). The second gate is load-bearing:
+        # under large inter-frame motion the local-map stage can scrape
+        # together >= 30 loose "inliers" around a collapsed pose (observed
+        # as a ~2 m frame-1 failure), while the motion-window count is a
+        # clean signal that the prediction missed.
         retry_th = max(cfg_t.min_local_inliers, cfg_t.min_track_inliers)
-        if summary[fstep.S_INLIERS] < retry_th:
+
+        def needs_retry(s):
+            return (
+                s[fstep.S_INLIERS] < retry_th
+                or s[fstep.S_INLIERS_1] < cfg_t.min_motion_matches
+            )
+
+        if needs_retry(summary):
             # Same compiled program, widened motion window, CURRENT snapshot.
             out2 = fstep.frame_step(
                 cfg, gray_d, depth_d, jnp.asarray(self.last.T_cw),
@@ -497,10 +518,8 @@ class SlamSystem:
             s2 = np.asarray(out2.summary)
             if s2[fstep.S_INLIERS] > summary[fstep.S_INLIERS]:
                 out, summary, epoch = out2, s2, self._snap_epoch
-                snap_ids = (
-                    self._snap_pt_ids, self._snap_ml_ids, self._snap_il_ids
-                )
-        if summary[fstep.S_INLIERS] < retry_th:
+                snap_ids = self._snap_id_pack()
+        if needs_retry(summary):
             fb = self._fallback_ref_kf(gray_d, depth_d, out)
             if fb is not None and (
                 np.asarray(fb[1])[fstep.S_INLIERS]
@@ -508,9 +527,7 @@ class SlamSystem:
             ):
                 out, summary = fb
                 epoch = self._snap_epoch
-                snap_ids = (
-                    self._snap_pt_ids, self._snap_ml_ids, self._snap_il_ids
-                )
+                snap_ids = self._snap_id_pack()
 
         hf = HostFrame(
             frame_id=frame_id,
@@ -577,15 +594,14 @@ class SlamSystem:
         """Fetch the frame's feature arrays + associations from the device
         in ONE batched transfer (keyframe insertion only — Frame arrays
         never cross to the host on ordinary frames). ``snap_ids`` are the
-        id arrays of the snapshot the frame was DISPATCHED against (may be
-        one generation behind in pipelined mode); associations to landmarks
-        culled since then are masked out by validity."""
+        (id, gen) arrays of the snapshot the frame was DISPATCHED against
+        (may be one epoch behind in pipelined mode); associations to
+        landmarks culled since then are masked by validity, and associations
+        to slots culled AND recycled are masked by the generation check."""
         m_ = self.map
         if snap_ids is None:
-            snap_ids = (
-                self._snap_pt_ids, self._snap_ml_ids, self._snap_il_ids
-            )
-        pt_ids_s, ml_ids_s, il_ids_s = snap_ids
+            snap_ids = self._snap_id_pack()
+        pt_ids_s, ml_ids_s, il_ids_s, pt_gen_s, ml_gen_s, il_gen_s = snap_ids
         fd = out.fd
         use_lines = self.cfg.use_lines and out.fl is not None
         pack = [fd.uv, fd.ur, fd.depth, fd.xyz_c, fd.level, fd.angle,
@@ -599,7 +615,10 @@ class SlamSystem:
          hf.valid, mp, inl) = got[:10]
         hf.feat_mp = np.full(len(hf.valid), -1, np.int32)
         n = len(pt_ids_s)
-        good = (mp[:n] >= 0) & inl[:n] & m_.mp_valid[pt_ids_s]
+        good = (
+            (mp[:n] >= 0) & inl[:n] & m_.mp_valid[pt_ids_s]
+            & (m_.mp_gen[pt_ids_s] == pt_gen_s)
+        )
         hf.feat_mp[mp[:n][good]] = pt_ids_s[good]
         if use_lines:
             (hf.line_sp, hf.line_ep, hf.line_desc, hf.line_valid,
@@ -610,12 +629,17 @@ class SlamSystem:
             hf.lil = jax.device_get(fl.lil)
             hf.lil_il = np.full(self.cfg.caps.frame_lils, -1, np.int32)
             nl = len(ml_ids_s)
-            src = np.flatnonzero((lm[:nl] >= 0) & m_.ml_valid[ml_ids_s])
+            src = np.flatnonzero(
+                (lm[:nl] >= 0) & m_.ml_valid[ml_ids_s]
+                & (m_.ml_gen[ml_ids_s] == ml_gen_s)
+            )
             hf.line_ml[lm[:nl][src]] = ml_ids_s[src]
             if self.cfg.use_lils:
                 nq = len(il_ids_s)
                 ok = (qm >= 0) & (qm < nq)
-                ok[ok] = m_.il_valid[il_ids_s[qm[ok]]]
+                ok[ok] = m_.il_valid[il_ids_s[qm[ok]]] & (
+                    m_.il_gen[il_ids_s[qm[ok]]] == il_gen_s[qm[ok]]
+                )
                 hf.lil_il[ok] = il_ids_s[qm[ok]]
 
     def _need_new_keyframe(self, hf: HostFrame, summary) -> bool:
@@ -661,7 +685,19 @@ class SlamSystem:
         self._snap_pt_ids = np.asarray(pt_ids, np.int64)
         self._snap_ml_ids = np.asarray(ml_ids, np.int64)
         self._snap_il_ids = np.asarray(il_ids, np.int64)
+        self._snap_pt_gen = m.mp_gen[self._snap_pt_ids].copy()
+        self._snap_ml_gen = m.ml_gen[self._snap_ml_ids].copy()
+        self._snap_il_gen = m.il_gen[self._snap_il_ids].copy()
         self._acc = fstep.make_acc(cfg)
+
+    def _snap_id_pack(self):
+        """The (ids, gens) identity of the CURRENT snapshot — what a frame
+        dispatched against it needs to resolve matches later, even if the
+        snapshot has been superseded and slots recycled in the meantime."""
+        return (
+            self._snap_pt_ids, self._snap_ml_ids, self._snap_il_ids,
+            self._snap_pt_gen, self._snap_ml_gen, self._snap_il_gen,
+        )
 
     def _fold_acc(self):
         """Fold the device found/visible accumulators into the host map
@@ -673,16 +709,25 @@ class SlamSystem:
         m = self.map
         n = len(self._snap_pt_ids)
         if n:
-            np.add.at(m.mp_visible, self._snap_pt_ids, a.pt_vis[:n])
-            np.add.at(m.mp_found, self._snap_pt_ids, a.pt_found[:n])
+            # Gen guard: don't credit counters of a slot recycled since the
+            # snapshot was built (it holds a different landmark now).
+            ok = m.mp_gen[self._snap_pt_ids] == self._snap_pt_gen
+            ids = self._snap_pt_ids[ok]
+            np.add.at(m.mp_visible, ids, a.pt_vis[:n][ok])
+            np.add.at(m.mp_found, ids, a.pt_found[:n][ok])
         nl = len(self._snap_ml_ids)
         if nl:
-            np.add.at(m.ml_visible, self._snap_ml_ids, a.ml_vis[:nl])
-            np.add.at(m.ml_found, self._snap_ml_ids, a.ml_found[:nl])
+            ok = m.ml_gen[self._snap_ml_ids] == self._snap_ml_gen
+            ids = self._snap_ml_ids[ok]
+            np.add.at(m.ml_visible, ids, a.ml_vis[:nl][ok])
+            np.add.at(m.ml_found, ids, a.ml_found[:nl][ok])
         nq = len(self._snap_il_ids)
         if nq:
             # AddFrameObservation (Map.cc:268 -> insectline.cc:39-43).
-            np.add.at(m.il_frame_obs, self._snap_il_ids, a.il_obs[:nq])
+            ok = m.il_gen[self._snap_il_ids] == self._snap_il_gen
+            np.add.at(
+                m.il_frame_obs, self._snap_il_ids[ok], a.il_obs[:nq][ok]
+            )
         self._acc = None
 
     def _invalidate_snapshot(self, fold: bool = True):
@@ -706,12 +751,14 @@ class SlamSystem:
     def _create_keyframe(self, hf: HostFrame):
         """CreateNewKeyFrame (Tracking.cc:1516-1605): insert KF, create new
         map points from depth for unmatched close features, run the backend."""
-        # Commit the previous keyframe's (still in-flight) local BA before
-        # touching the map (the tracker consumed the pre-BA snapshot in the
-        # meantime — SURVEY §7.2 async dispatch replacing the LocalMapping
-        # thread, System.cc:86-113).
+        # Commit the previous keyframe's (still in-flight) local BA and
+        # backend (triangulation + fuse) before touching the map (the
+        # tracker consumed the pre-BA snapshot in the meantime — SURVEY
+        # §7.2 async dispatch replacing the LocalMapping thread,
+        # System.cc:86-113).
         self._fold_acc()
         self._commit_pending_ba()
+        self._commit_pending_backend()
         self._evict_for_capacity()
         kf = self.map.add_keyframe(
             hf.frame_id, hf.timestamp, hf.T_cw, hf.uv, hf.ur, hf.level, hf.angle,
@@ -748,24 +795,22 @@ class SlamSystem:
 
         # Backend (LocalMapping::Run order, LocalMapping.cc:47-120): point
         # culling, epipolar triangulation of new points, line triangulation,
-        # neighbour fuse, local BA, keyframe culling.
+        # neighbour fuse, local BA, keyframe culling. The device stages
+        # (point triangulation + point fuse) are DISPATCHED here and
+        # committed at the next keyframe event (the line stages are pure
+        # host numpy and run inline): the keyframe's frame pays dispatch
+        # latency only, never a device round trip.
         self.stats["culled"] += local_mapping.cull_points(self.map, self.cfg)
-        self.stats["triangulated"] = self.stats.get(
-            "triangulated", 0
-        ) + local_mapping.create_new_map_points(self.map, kf, self.cfg)
         if self.cfg.use_lines and hf.line_valid is not None:
             self.stats["lines_triangulated"] = self.stats.get(
                 "lines_triangulated", 0
             ) + line_mapping.create_new_map_lines(self.map, kf, self.cfg)
-        self.stats["fused"] = self.stats.get(
-            "fused", 0
-        ) + local_mapping.search_in_neighbors(self.map, kf, self.cfg)
-        if self.cfg.use_lines and hf.line_valid is not None:
             self.stats["lines_fused"] = self.stats.get(
                 "lines_fused", 0
             ) + line_mapping.fuse_lines_in_neighbors(self.map, kf, self.cfg)
             row = self.map.kf_line_ml[kf]
             self.map.update_line_stats(np.unique(row[row >= 0]))
+        self._dispatch_backend(kf)
         self.map.update_point_stats(
             np.unique(self.map.kf_feat_mp[kf][self.map.kf_feat_mp[kf] >= 0])
         )
@@ -797,6 +842,28 @@ class SlamSystem:
             [k for k in np.flatnonzero(m.kf_valid) if k not in protect]
         )
         if len(live) == 0:
+            # Every unprotected KF holds a loop edge: drop the loop edges of
+            # the most-redundant one rather than letting add_keyframe hit an
+            # un-bookkept map-level eviction (ADVICE r4: the map backstop now
+            # raises instead of corrupting trajectories silently).
+            hard_protect = {0, self.ref_kf, int(m.last_kf)}
+            live = np.asarray(
+                [k for k in np.flatnonzero(m.kf_valid) if k not in hard_protect]
+            )
+            if len(live) == 0:
+                return
+            victim = int(live[np.argmax(m.covis[live, : m.n_kf].max(axis=1))])
+            if self.loop_closer is not None:
+                self.loop_closer.loop_edges = [
+                    (a, b)
+                    for a, b in self.loop_closer.loop_edges
+                    if a != victim and b != victim
+                ]
+            self._retarget_trajectory(victim)
+            if self.kf_db is not None:
+                self.kf_db.erase(victim)
+            m.erase_keyframe(victim)
+            self.stats["kf_evicted"] = self.stats.get("kf_evicted", 0) + 1
             return
         victim = int(live[np.argmax(m.covis[live, : m.n_kf].max(axis=1))])
         import logging
@@ -963,11 +1030,38 @@ class SlamSystem:
         )
         self.stats["ba_runs"] += 1
 
+    def _dispatch_backend(self, kf: int):
+        """Dispatch the new KF's device backend (epipolar triangulation +
+        neighbour fuse) without fetching; committed at the next KF event."""
+        from pslam_tpu.pipeline import local_mapping as lm
+
+        self._pending_backend = {
+            "tri": lm.dispatch_triangulation(self.map, kf, self.cfg),
+            "fuse": lm.dispatch_fuse(self.map, kf, self.cfg),
+        }
+
+    def _commit_pending_backend(self):
+        p = self._pending_backend
+        if p is None:
+            return
+        self._pending_backend = None
+        from pslam_tpu.pipeline import local_mapping as lm
+
+        if p["tri"] is not None:
+            self.stats["triangulated"] = self.stats.get(
+                "triangulated", 0
+            ) + lm.commit_triangulation(self.map, p["tri"], self.cfg)
+        if p["fuse"] is not None:
+            self.stats["fused"] = self.stats.get(
+                "fused", 0
+            ) + lm.commit_fuse(self.map, p["fuse"], self.cfg)
+
     def _interrupt_ba(self):
-        """Discard the in-flight local BA (InterruptBA / mbAbortBA,
-        LocalMapping.cc:984-986): called by the loop closer right before a
-        correction rewrites the poses the solve was based on."""
+        """Discard the in-flight local BA AND backend (InterruptBA /
+        mbAbortBA, LocalMapping.cc:984-986): called by the loop closer right
+        before a correction rewrites the poses the solves were based on."""
         self._pending_ba = None
+        self._pending_backend = None
 
     # ------------------------------------------------------------------
 
@@ -984,6 +1078,7 @@ class SlamSystem:
         clear map, database, trajectory bookkeeping keeps accumulating."""
         vocab = self.kf_db.vocab if self.kf_db is not None else None
         self._pending_ba = None
+        self._pending_backend = None
         self._inflight = None
         self._invalidate_snapshot(fold=False)
         # Freeze prior rows to absolute poses — their reference KFs are about
@@ -1023,11 +1118,13 @@ class SlamSystem:
         self._vo_mode = False
 
     def flush(self):
-        """Commit any in-flight device work (async local BA, found/visible
-        accumulators) into the host map. Call before reading map state
-        externally (trajectory save, checkpoint, evaluation)."""
+        """Commit any in-flight device work (async local BA, async KF
+        backend, found/visible accumulators) into the host map. Call before
+        reading map state externally (trajectory save, checkpoint,
+        evaluation)."""
         self._fold_acc()
         self._commit_pending_ba()
+        self._commit_pending_backend()
         if self._snap is not None and self._acc is None:
             self._acc = fstep.make_acc(self.cfg)
 

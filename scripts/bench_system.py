@@ -21,6 +21,9 @@ def main(n_frames: int = 100):
     sys.path.insert(0, "/root/repo")
     import jax
 
+    from pslam_tpu.utils.backend import enable_compile_cache
+    enable_compile_cache()
+
     from pslam_tpu.io.synthetic import render_sequence
     from pslam_tpu.pipeline.system import SlamSystem
     from pslam_tpu.utils.config import SlamConfig

@@ -144,11 +144,18 @@ class TestLILProbation:
 
 
 class TestKeyframeCapacity:
-    def test_eviction_instead_of_crash(self):
+    def test_system_eviction_keeps_capacity(self):
+        """Round-5 contract change (ADVICE r4): the MAP-level backstop no
+        longer evicts silently (it raises — test_round5 covers that);
+        capacity pressure must be handled by SlamSystem._evict_for_capacity
+        with full bookkeeping. Fill the table via the system helper and
+        check eviction keeps the map valid."""
         from pslam_tpu.models.map_state import MapState
+        from pslam_tpu.pipeline.system import SlamSystem
 
-        cfg = SlamConfig()
-        m = MapState(cfg)
+        cfg = SlamConfig(use_bow=False, use_loop_closing=False)
+        s = SlamSystem(cfg)
+        m = s.map
         cap = m.kf_valid.shape[0]
         rng = np.random.default_rng(0)
         N = m.kf_uv.shape[1]
@@ -163,8 +170,13 @@ class TestKeyframeCapacity:
             feat_mp=np.full(N, -1, np.int32),
         )
         for i in range(cap + 3):  # 3 past capacity: must not raise
-            m.add_keyframe(i, i * 0.1, np.eye(4, dtype=np.float32), uv, **args)
+            s._evict_for_capacity()
+            k = m.add_keyframe(
+                i, i * 0.1, np.eye(4, dtype=np.float32), uv, **args
+            )
+            s.ref_kf = k
         assert m.kf_valid.sum() <= cap
+        assert s.stats.get("kf_evicted", 0) >= 3
 
 
 def _drive(system, grays, depths, n, t0=0.0):
@@ -189,9 +201,12 @@ class TestLocalizationOnly:
         _drive(s, grays, depths, 15)
         assert s.state == TrackState.OK
         kfs_before = s.stats["kf_inserted"]
-        mp_count = int(s.map.mp_valid.sum())
 
+        # activate flushes the async-dispatched KF backend (round-5: the
+        # last KF's triangulation/fuse commit here), so count landmarks
+        # AFTER the freeze point.
         s.activate_localization_mode()
+        mp_count = int(s.map.mp_valid.sum())
         # 50 tracked frames: zero KF insertions, zero new landmarks.
         for i in range(15, 65):
             s.track_rgbd(grays[i], depths[i], i / 30.0)
