@@ -19,6 +19,32 @@ import dataclasses
 import numpy as np
 
 
+def _tex_bilinear(tex: np.ndarray, tu: np.ndarray, tv: np.ndarray):
+    """Bilinear texture lookup with wrap addressing. Nearest-texel lookup
+    quantizes sub-pixel image shifts to the texel grid (at ~1 texel/pixel
+    that aliases stereo disparity by up to ~0.5 px); bilinear keeps the
+    rendered photometry consistent at sub-pixel camera motion."""
+    n = tex.shape[0]
+    u0 = np.floor(tu).astype(np.int64)
+    v0 = np.floor(tv).astype(np.int64)
+    fu = (tu - u0).astype(np.float32)
+    fv = (tv - v0).astype(np.float32)
+    u0 %= n
+    v0 %= n
+    u1 = (u0 + 1) % n
+    v1 = (v0 + 1) % n
+    c00 = tex[v0, u0]
+    c01 = tex[v0, u1]
+    c10 = tex[v1, u0]
+    c11 = tex[v1, u1]
+    return (
+        c00 * (1 - fu) * (1 - fv)
+        + c01 * fu * (1 - fv)
+        + c10 * (1 - fu) * fv
+        + c11 * fu * fv
+    )
+
+
 def checker_texture(size: int = 1024, cell: int = 32, seed: int = 0):
     """High-contrast random checkerboard with corner-rich structure."""
     rng = np.random.default_rng(seed)
@@ -115,9 +141,9 @@ class BoxRoom:
             closer = ok & (t_hit < best_t)
             # Texture lookup (wrap).
             scale = self.tex_size / (2 * max(self.half_w, self.half_h, self.depth))
-            tu = np.mod(pt[..., ua] * scale, self.tex_size).astype(np.int32)
-            tv = np.mod(pt[..., va] * scale, self.tex_size).astype(np.int32)
-            col = tex[tv % self.tex_size, tu % self.tex_size]
+            col = _tex_bilinear(
+                tex, pt[..., ua] * scale, pt[..., va] * scale
+            )
             gray = np.where(closer, col, gray)
             best_t = np.where(closer, t_hit, best_t)
 
@@ -244,9 +270,9 @@ class ClosedRoom(BoxRoom):
             scale = self.tex_size / (
                 2 * max(self.half_w, self.half_h, self.depth)
             )
-            tu = np.mod(pt[..., ua] * scale, self.tex_size).astype(np.int32)
-            tv = np.mod(pt[..., va] * scale, self.tex_size).astype(np.int32)
-            col = tex[tv % self.tex_size, tu % self.tex_size]
+            col = _tex_bilinear(
+                tex, pt[..., ua] * scale, pt[..., va] * scale
+            )
             gray = np.where(closer, col, gray)
             best_t = np.where(closer, t_hit, best_t)
 
@@ -302,6 +328,34 @@ class LowTextureRoom(BoxRoom):
         self.textures = [
             panel_texture(s, p, p, self.seed + i) for i in range(4)
         ]
+
+
+def render_stereo_sequence(
+    cam,
+    n_frames: int = 30,
+    seed: int = 0,
+    room: BoxRoom | None = None,
+    poses: np.ndarray | None = None,
+):
+    """Render a rectified stereo sequence: the right camera is the left one
+    translated by +baseline along camera-x (X_r = X_l - (b, 0, 0), i.e.
+    T_cw_right = Tb @ T_cw_left with Tb = trans(-b, 0, 0)). Returns
+    (grays_l, grays_r, poses_w2c) — poses are the LEFT camera's."""
+    room = room or BoxRoom(seed=seed)
+    K = np.array(
+        [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], dtype=np.float64
+    )
+    if poses is None:
+        poses = arc_trajectory(n_frames)
+    Tb = np.eye(4)
+    Tb[0, 3] = -cam.baseline
+    gl, gr = [], []
+    for T in poses:
+        g0, _ = room.render(K, T.astype(np.float64), cam.width, cam.height)
+        g1, _ = room.render(K, Tb @ T.astype(np.float64), cam.width, cam.height)
+        gl.append(g0)
+        gr.append(g1)
+    return np.stack(gl), np.stack(gr), poses
 
 
 def render_sequence(

@@ -63,6 +63,45 @@ def make_frame(img, depth_img, cam: Camera, orb_cfg: OrbConfig) -> FrameData:
     )
 
 
+@partial(jax.jit, static_argnames=("cam", "orb_cfg"))
+def make_frame_stereo(
+    img_l, img_r, cam: Camera, orb_cfg: OrbConfig
+) -> FrameData:
+    """Stereo frame construction (Frame stereo ctor, Frame.cc:56-131 +
+    ComputeStereoMatches Frame.cc:1165): extract ORB in BOTH images, match
+    left->right along the epipolar rows with sub-pixel SAD refinement
+    (ops/stereo.py), and emit the same FrameData the RGB-D path produces
+    (ur/depth per left feature) so tracking/mapping downstream is shared.
+    The reference extracts the two images on two std::threads
+    (Frame.cc:92-93); here both extractions are one fused device program."""
+    from pslam_tpu.ops.stereo import compute_stereo_matches
+
+    featsL: OrbFeatures = extract_orb(img_l, orb_cfg)
+    featsR: OrbFeatures = extract_orb(img_r, orb_cfg)
+    ur, z = compute_stereo_matches(
+        cam, img_l, img_r,
+        featsL.uv, featsL.level, featsL.desc, featsL.valid,
+        featsR.uv, featsR.level, featsR.desc, featsR.valid,
+        orb_cfg.scale, orb_cfg.levels,
+    )
+    has_depth = (z > 0.05) & featsL.valid
+    uv = undistort_points(cam, featsL.uv)
+    # ur was measured on the raw image row; shift it by the undistortion of
+    # the left u (rectified stereo assumption: same distortion both views).
+    ur_u = jnp.where(has_depth, ur + (uv[:, 0] - featsL.uv[:, 0]), -1.0)
+    xyz_c = backproject(cam, uv, z) * has_depth[:, None]
+    return FrameData(
+        uv=uv,
+        ur=ur_u,
+        depth=jnp.where(has_depth, z, 0.0),
+        xyz_c=xyz_c,
+        level=featsL.level,
+        angle=featsL.angle,
+        desc=featsL.desc,
+        valid=featsL.valid,
+    )
+
+
 class FrameLineData(NamedTuple):
     """Device-side line features of one frame (capacity NL) + LIL set.
 

@@ -37,6 +37,7 @@ from pslam_tpu.pipeline.frame_ops import (
     FrameLineData,
     make_frame,
     make_frame_lines,
+    make_frame_stereo,
 )
 from pslam_tpu.pipeline.track_ops import (
     PointSet,
@@ -193,7 +194,11 @@ def frame_step(
     cam, orb = cfg.camera, cfg.orb
     tcfg = cfg.tracking
 
-    fd = make_frame(gray, depth, cam, orb)
+    if cfg.sensor == "stereo":
+        # ``depth`` carries the RIGHT image (see SlamConfig.sensor).
+        fd = make_frame_stereo(gray, depth, cam, orb)
+    else:
+        fd = make_frame(gray, depth, cam, orb)
     fl = None
     if cfg.use_lines:
         fl = make_frame_lines(gray, depth, cam, cfg.lines, cfg.caps.frame_lils)

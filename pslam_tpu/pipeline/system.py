@@ -119,6 +119,9 @@ class SlamSystem:
         # inliers while only-tracking => try relocalization opportunistically.
         self.localization_only = False
         self._vo_mode = False
+        # Previous frame's device FrameData + pose, kept ONLY in
+        # localization-only mode for the mbVO frame-to-frame fallback.
+        self._vo_prev = None
         # Place recognition DB (System.cc:61-82: vocabulary + KeyFrameDatabase;
         # trained at startup instead of parsing ORBvoc.txt for minutes).
         self.kf_db = None
@@ -155,7 +158,7 @@ class SlamSystem:
         if self.state == TrackState.OK:
             hf = self._track_fused(gray_d, depth_d, timestamp)
         else:
-            fd: FrameData = make_frame(gray_d, depth_d, cam, orb)
+            fd: FrameData = self._make_frame(gray_d, depth_d)
             hf = self._to_host(fd, timestamp)
             if self.cfg.use_lines:
                 fl: FrameLineData = make_frame_lines(
@@ -202,6 +205,31 @@ class SlamSystem:
             )
         else:
             self.trajectory.append((hf.timestamp, hf.T_cw.copy(), -1))
+
+    def _make_frame(self, gray_d, depth_d) -> FrameData:
+        """Sensor-dispatched frame construction (the ``depth`` slot carries
+        the right image in stereo mode — SlamConfig.sensor)."""
+        if self.cfg.sensor == "stereo":
+            from pslam_tpu.pipeline.frame_ops import make_frame_stereo
+
+            return make_frame_stereo(
+                gray_d, depth_d, self.cfg.camera, self.cfg.orb
+            )
+        return make_frame(gray_d, depth_d, self.cfg.camera, self.cfg.orb)
+
+    # ------------------------------------------------------------------
+    # Stereo pipeline (System::TrackStereo, Tracking::GrabImageStereo,
+    # Tracking.cc:174-213)
+
+    def track_stereo(self, gray_l: np.ndarray, gray_r: np.ndarray,
+                     timestamp: float):
+        """Process one rectified stereo pair; returns the (4, 4) pose.
+        Identical to the RGB-D pipeline downstream of the frame ctor —
+        per-feature depth comes from the row-banded SAD stereo matcher
+        (ops/stereo.py; Frame::ComputeStereoMatches, Frame.cc:1165) instead
+        of the depth map. Requires cfg.sensor == "stereo"."""
+        assert self.cfg.sensor == "stereo", "set SlamConfig(sensor='stereo')"
+        return self.track_rgbd(gray_l, gray_r, timestamp)
 
     # ------------------------------------------------------------------
     # Monocular pipeline (System::TrackMonocular, Tracking.cc:245-272)
@@ -540,8 +568,11 @@ class SlamSystem:
             self._acc = out.acc
         n_inliers = int(summary[fstep.S_INLIERS])
         if n_inliers < cfg_t.min_track_inliers:
+            if self.localization_only and self._finish_vo(hf, out, snap_ids):
+                return hf
             self.state = TrackState.LOST
             self.velocity = np.eye(4, dtype=np.float32)
+            self._vo_prev = None
             hf.T_cw = self.last.T_cw.copy()
             return hf
 
@@ -550,16 +581,70 @@ class SlamSystem:
             np.float32
         )
         if self.localization_only:
-            # mbVO accounting (Tracking.cc:1049): few map inliers while
-            # only-tracking means the map has drifted out of view; flag VO
-            # mode so the caller/metrics can see it. KF insertion and every
-            # backend stage stay frozen (System.cc:270-283).
-            self._vo_mode = n_inliers < 20
+            # mbVO accounting (Tracking.cc:1280: mbVO = nmatchesMap < 10):
+            # few map inliers while only-tracking means the map has drifted
+            # out of view. KF insertion and every backend stage stay frozen
+            # (System.cc:270-283). Keep the frame for the VO fallback.
+            self._vo_mode = n_inliers < 10
+            self._vo_prev = (out.fd, hf.T_cw.copy())
         elif self._need_new_keyframe(hf, summary):
             self._materialize_host_frame(hf, out, snap_ids)
             self._create_keyframe(hf)
             self._rebuild_snapshot()
         return hf
+
+    def _finish_vo(self, hf: HostFrame, out, snap_ids) -> bool:
+        """The mbVO branch of localization-only tracking
+        (Tracking.cc:304-411, 1049-1162): when map inliers collapse while
+        only-tracking, (a) attempt relocalization — if it succeeds it WINS
+        the arbitration and clears VO mode (Tracking.cc:367-405); (b)
+        otherwise keep tracking on frame-to-frame matches against the
+        previous frame's depth-backed features as temporary VO landmarks,
+        accepted at >= 20 matches (Tracking.cc:1289: return nmatches>20).
+        Returns True if the frame survives (state OK), False -> LOST."""
+        from pslam_tpu.pipeline.relocalization import relocalize
+        from pslam_tpu.pipeline.track_ops import track_frame_to_frame
+
+        cfg = self.cfg
+        self._materialize_host_frame(hf, out, snap_ids)
+        if relocalize(self, hf, out.fd):
+            self.state = TrackState.OK
+            self.velocity = np.eye(4, dtype=np.float32)
+            self._vo_mode = False
+            self._vo_prev = (out.fd, hf.T_cw.copy())
+            self.stats["relocs"] = self.stats.get("relocs", 0) + 1
+            return True
+        if self._vo_prev is None:
+            return False
+        prev_fd, prev_T = self._vo_prev
+        T_pred = (self.velocity @ self.last.T_cw).astype(np.float32)
+        res = track_frame_to_frame(
+            cfg.camera, jnp.asarray(T_pred), prev_fd, jnp.asarray(prev_T),
+            out.fd, cfg.tracking.motion_match_radius_wide,
+            cfg.orb.scale, cfg.orb.levels,
+        )
+        if int(res.n_inliers) < 20:
+            # Fast pan: the image shift exceeded the wide window — retry
+            # with pure descriptor matching (no projection window).
+            from pslam_tpu.pipeline.track_ops import (
+                track_frame_to_frame_unwindowed,
+            )
+
+            res = track_frame_to_frame_unwindowed(
+                cfg.camera, jnp.asarray(T_pred), prev_fd,
+                jnp.asarray(prev_T), out.fd, cfg.orb.scale, cfg.orb.levels,
+            )
+        if int(res.n_inliers) < 20:
+            return False
+        hf.T_cw = np.asarray(res.T_cw, np.float32).copy()
+        self.state = TrackState.OK
+        self.velocity = (hf.T_cw @ np.linalg.inv(self.last.T_cw)).astype(
+            np.float32
+        )
+        self._vo_mode = True
+        self._vo_prev = (out.fd, hf.T_cw.copy())
+        self.stats["vo_frames"] = self.stats.get("vo_frames", 0) + 1
+        return True
 
     def _fallback_ref_kf(self, gray_d, depth_d, out):
         """Un-windowed descriptor matching against the reference KF's points
@@ -1116,6 +1201,7 @@ class SlamSystem:
         System.cc:277-283)."""
         self.localization_only = False
         self._vo_mode = False
+        self._vo_prev = None
 
     def flush(self):
         """Commit any in-flight device work (async local BA, async KF

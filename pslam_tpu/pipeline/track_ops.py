@@ -254,6 +254,69 @@ def track_against_points_unwindowed(
     return _result(T_opt, match_idx, po, inlier, pts.valid, None, None)
 
 
+def _vo_point_set(prev_fd: FrameData, T_prev) -> PointSet:
+    """The previous frame's depth-backed features as temporary landmarks
+    (the reference's UpdateLastFrame temporal VO points,
+    Tracking.cc:1110-1162) — no map involvement, nothing is ever
+    inserted."""
+    R = T_prev[:3, :3]
+    t = T_prev[:3, 3]
+    pos_w = (prev_fd.xyz_c - t) @ R  # R^T (Xc - t)
+    C = -R.T @ t
+    d = pos_w - C[None, :]
+    dist = jnp.linalg.norm(d, axis=-1)
+    return PointSet(
+        pos=pos_w,
+        desc=prev_fd.desc,
+        level=prev_fd.level,
+        angle=prev_fd.angle,
+        min_dist=jnp.zeros_like(dist),
+        max_dist=dist * 10.0 + 1.0,
+        normal=d / jnp.maximum(dist[:, None], 1e-9),
+        valid=prev_fd.valid & (prev_fd.depth > 0),
+    )
+
+
+@partial(jax.jit, static_argnames=("cam", "orb_scale", "orb_levels"))
+def track_frame_to_frame(
+    cam: Camera,
+    T_prior,
+    prev_fd: FrameData,
+    T_prev,
+    frame: FrameData,
+    radius,
+    orb_scale: float = 1.2,
+    orb_levels: int = 8,
+) -> TrackResult:
+    """Windowed visual-odometry step for localization-only mbVO mode.
+    Returns the same TrackResult as map tracking."""
+    pts = _vo_point_set(prev_fd, T_prev)
+    return track_against_points(
+        cam, T_prior, pts, frame, radius, orb_scale, orb_levels,
+        check_scale=False,
+    )
+
+
+@partial(jax.jit, static_argnames=("cam", "orb_scale", "orb_levels"))
+def track_frame_to_frame_unwindowed(
+    cam: Camera,
+    T_prior,
+    prev_fd: FrameData,
+    T_prev,
+    frame: FrameData,
+    orb_scale: float = 1.2,
+    orb_levels: int = 8,
+) -> TrackResult:
+    """Unwindowed VO fallback: pure descriptor matching against the
+    previous frame's features, recovering fast pans whose image shift
+    exceeds any projection window (the VO analogue of the ref-KF
+    SearchByBoW fallback)."""
+    pts = _vo_point_set(prev_fd, T_prev)
+    return track_against_points_unwindowed(
+        cam, T_prior, pts, frame, orb_scale, orb_levels
+    )
+
+
 @partial(jax.jit, static_argnames=("cam", "orb_scale", "orb_levels"))
 def track_local_map_step(
     cam: Camera,

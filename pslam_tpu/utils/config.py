@@ -79,6 +79,13 @@ class SlamConfig:
     caps: Capacities = Capacities()
     tracking: TrackingConfig = TrackingConfig()
     plane_assoc: PlaneAssocConfig = PlaneAssocConfig()
+    # Sensor pipeline (System::eSensor): "rgbd" (primary), "stereo"
+    # (GrabImageStereo, Tracking.cc:174 — the depth argument of the frame
+    # entry points carries the RIGHT image), or "mono" (track_mono drives
+    # this implicitly). Stereo has no dense depth, so the line/LIL frontend
+    # (which fits 3D lines from the depth image) is RGB-D-only — matching
+    # the reference, whose stereo Frame ctor never runs ExtractLSD.
+    sensor: str = "rgbd"
     use_lines: bool = True  # BASELINE config 1 (points only) sets False
     use_lils: bool = True  # BASELINE config 2 (lines, no composite error)
     # sets False: LILs drop out of pose opt + local BA but map lines stay
@@ -92,6 +99,14 @@ class SlamConfig:
     # BA + KF-sharded essential graph over a jax.sharding.Mesh of all
     # visible devices. Single-device meshes degrade to the plain path.
     distributed: bool = False
+
+    def __post_init__(self):
+        if self.sensor == "stereo" and self.use_lines:
+            raise ValueError(
+                "sensor='stereo' has no dense depth for the 3D line fit; "
+                "set use_lines=False (the reference's stereo Frame ctor "
+                "never runs ExtractLSD either)"
+            )
 
     @property
     def th_depth(self) -> float:

@@ -171,6 +171,126 @@ class TestKfCapacityBackstop:
                            np.full(N, -1, np.int32))
 
 
+class TestStereo:
+    """Third sensor pipeline (VERDICT r4 item 7): Frame::ComputeStereoMatches
+    (Frame.cc:1165) + Tracking::GrabImageStereo (Tracking.cc:174)."""
+
+    def test_stereo_depth_accuracy(self):
+        """Stereo-matched depths must agree with rendered ground-truth depth
+        for most features (sub-pixel SAD disparity)."""
+        import jax.numpy as jnp
+
+        from pslam_tpu.io.synthetic import BoxRoom, render_sequence, \
+            render_stereo_sequence
+        from pslam_tpu.pipeline.frame_ops import make_frame_stereo
+        from pslam_tpu.utils.config import SlamConfig
+
+        cfg = SlamConfig(sensor="stereo", use_lines=False, use_lils=False,
+                         use_bow=False, use_loop_closing=False)
+        cam = cfg.camera
+        room = BoxRoom(seed=1)
+        gl, gr, poses = render_stereo_sequence(cam, n_frames=1, room=room)
+        _, dl, _ = render_sequence(cam, n_frames=1, room=room)
+        fd = make_frame_stereo(
+            jnp.asarray(gl[0]), jnp.asarray(gr[0]), cam, cfg.orb
+        )
+        z = np.asarray(fd.depth)
+        uv = np.asarray(fd.uv)
+        ok = (z > 0) & np.asarray(fd.valid)
+        assert ok.sum() > 300, f"only {ok.sum()} stereo depths"
+        ui = np.clip(np.round(uv[ok, 0]).astype(int), 0, cam.width - 1)
+        vi = np.clip(np.round(uv[ok, 1]).astype(int), 0, cam.height - 1)
+        z_gt = dl[0][vi, ui]
+        rel = np.abs(z[ok] - z_gt) / np.maximum(z_gt, 1e-6)
+        # Sub-pixel disparity at 2-6 m: median relative depth error small,
+        # and the bulk within 5% (the tail is far-wall features where one
+        # disparity pixel is ~15% depth; the chi^2 gates downstream weigh
+        # them accordingly).
+        assert np.median(rel) < 0.02, np.median(rel)
+        assert (rel < 0.05).mean() > 0.75, (rel < 0.05).mean()
+
+    def test_stereo_end_to_end_ate(self):
+        from pslam_tpu.io.synthetic import render_stereo_sequence
+        from pslam_tpu.pipeline.system import SlamSystem, TrackState
+        from pslam_tpu.utils.config import SlamConfig
+        from pslam_tpu.utils.metrics import ate_rmse, trajectory_positions
+
+        cfg = SlamConfig(sensor="stereo", use_lines=False, use_lils=False,
+                         use_bow=False, use_loop_closing=False)
+        gl, gr, poses_gt = render_stereo_sequence(cfg.camera, n_frames=20)
+        s = SlamSystem(cfg)
+        for i in range(len(gl)):
+            s.track_stereo(gl[i], gr[i], i / 30.0)
+        assert s.state == TrackState.OK
+        est = trajectory_positions(s.poses)
+        gt = trajectory_positions(poses_gt)
+        ate = ate_rmse(est, gt)
+        assert ate < 0.06, f"stereo ATE {ate:.4f} m"
+
+    def test_stereo_requires_no_lines(self):
+        from pslam_tpu.utils.config import SlamConfig
+
+        with pytest.raises(ValueError, match="stereo"):
+            SlamConfig(sensor="stereo", use_lines=True)
+
+
+class TestVisualOdometryMode:
+    """mbVO substance for localization-only mode (VERDICT r4 item 8,
+    Tracking.cc:304-411, 1049-1162): when the frozen map leaves the view,
+    tracking continues on frame-to-frame VO matches and relocalizes on
+    return."""
+
+    def test_vo_survives_leaving_map_and_relocalizes(self):
+        import numpy as np
+
+        from pslam_tpu.io.synthetic import ClosedRoom, render_sequence
+        from pslam_tpu.pipeline.system import SlamSystem, TrackState
+        from pslam_tpu.utils.config import SlamConfig
+
+        cfg = SlamConfig(use_lines=False, use_lils=False)
+        cam = cfg.camera
+
+        def yaw_pose(yaw, C):
+            cy, sy = np.cos(yaw), np.sin(yaw)
+            R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = R_wc.T
+            T[:3, 3] = -R_wc.T @ np.asarray(C)
+            return T
+
+        # Phase 1 (map): small sweep looking at the back wall. Phase 2
+        # (leave): yaw to 150 deg — the frozen map is fully out of view,
+        # only frame-to-frame VO can carry. Phase 3 (return): yaw back.
+        C0 = np.array([0.0, 0.0, 1.0])
+        poses = [yaw_pose(0.04 * i, C0 + [0.02 * i, 0, 0]) for i in range(12)]
+        out_yaws = np.linspace(0.44, 2.6, 14)
+        poses += [yaw_pose(y, C0 + [0.24, 0, 0]) for y in out_yaws]
+        poses += [yaw_pose(y, C0 + [0.24, 0, 0]) for y in out_yaws[::-1][1:]]
+        poses += [yaw_pose(0.04 * i, C0 + [0.02 * i, 0, 0])
+                  for i in range(11, 7, -1)]
+        poses = np.stack(poses).astype(np.float32)
+        room = ClosedRoom(depth=5.0, half_w=3.0, half_h=2.0, seed=4)
+        grays, depths, _ = render_sequence(cam, poses=poses, room=room)
+
+        s = SlamSystem(cfg)
+        for i in range(12):
+            s.track_rgbd(grays[i], depths[i], i / 30.0)
+        assert s.state == TrackState.OK
+        s.activate_localization_mode()
+
+        lost_frames = 0
+        for i in range(12, len(grays)):
+            s.track_rgbd(grays[i], depths[i], i / 30.0)
+            if s.state == TrackState.LOST:
+                lost_frames += 1
+        # The excursion must be survived by VO (some frames in VO mode),
+        # and the return must end tracked against the map again.
+        assert s.stats.get("vo_frames", 0) >= 3, s.stats
+        assert s.state == TrackState.OK
+        assert not s._vo_mode  # back on map inliers (reloc or direct match)
+        assert lost_frames <= 4, lost_frames
+
+
 def test_fast_bf16_flip_rate():
     """Quantify the bf16-vs-f32 FAST decision flip rate on an interpolated
     pyramid level (ADVICE r4 low: bf16 exactness only holds for integer
