@@ -111,10 +111,21 @@ def main():
     est = trajectory_positions(s.poses)
     gt = trajectory_positions(poses_gt)
     ate = ate_rmse(est[: len(gt)], gt[: len(est)])
+    # KF vs non-KF frame latency split (VERDICT r4 item 3: with the fully
+    # async backend no frame should pay a KF-sized spike).
+    is_kf = np.diff(np.r_[kf_at[0], kf_at]) > 0
+    tw, kw = times[warm] * 1e3, is_kf[warm]
+    t_kf = float(np.mean(tw[kw])) if kw.any() else float("nan")
+    t_nkf = float(np.mean(tw[~kw])) if (~kw).any() else float("nan")
     log(
         f"deployed (pipelined, relay-attached): median {t_dep:.1f} ms/frame, "
         f"mean {t_dep_mean:.1f}, total {wall:.0f}s, {n_kf} KFs "
         f"(rate {kf_rate:.2f}), ATE {ate*100:.2f} cm"
+    )
+    log(
+        f"deployed KF-frame split: KF frames mean {t_kf:.1f} ms, non-KF "
+        f"mean {t_nkf:.1f} ms, mean/median {t_dep_mean/t_dep:.2f}x, "
+        f"worst {float(np.max(tw)):.1f} ms"
     )
 
     # ---- 2. chip-bound: scan the SAME deployed frame program -------------
@@ -195,6 +206,10 @@ def main():
                 "vs_baseline": round(fps / base_fps, 2),
                 "baseline": base_kind,
                 "baseline_fps": round(base_fps, 2),
+                "deployed_median_ms": round(t_dep, 1),
+                "deployed_mean_ms": round(t_dep_mean, 1),
+                "deployed_kf_frame_ms": round(t_kf, 1),
+                "deployed_non_kf_frame_ms": round(t_nkf, 1),
             }
         )
     )
