@@ -3,7 +3,12 @@ circuit (default 500 frames, 2 revisit loops) through the FULL config
 (lines + LILs + BoW + loop closing), verifying the run completes within
 fixed capacities (with graceful eviction if hit) and reports stable ATE.
 
-Usage: python scripts/run_long.py [n_frames]
+Usage: python scripts/run_long.py [n_frames] [--tpu]
+
+``--tpu`` leaves the default (real-chip) backend in place and drives the
+depth-1 pipelined tracking API — the deployed long-run evidence (VERDICT
+r4 item 9); without it, the run is forced onto CPU (reproducible anywhere,
+no relay variance).
 """
 
 import os
@@ -16,7 +21,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    on_tpu = "--tpu" in sys.argv
+    if not on_tpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from pslam_tpu.utils.backend import enable_compile_cache
+
+        enable_compile_cache()
     import numpy as np
 
     from pslam_tpu.io.synthetic import ClosedRoom, loop_trajectory, render_sequence
@@ -24,7 +35,8 @@ def main():
     from pslam_tpu.utils.config import SlamConfig
     from pslam_tpu.utils.metrics import ate_rmse, trajectory_positions
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 500
     cfg = SlamConfig()
     print(f"rendering {n}-frame double-loop sequence...", flush=True)
     poses = loop_trajectory(n, loops=2.0)
@@ -32,9 +44,10 @@ def main():
     grays, depths, poses_gt = render_sequence(cfg.camera, poses=poses, room=room)
 
     sys_ = SlamSystem(cfg)
+    track = sys_.track_rgbd_pipelined if on_tpu else sys_.track_rgbd
     t0 = time.time()
     for i in range(n):
-        sys_.track_rgbd(grays[i], depths[i], i / 30.0)
+        track(grays[i], depths[i], i / 30.0)
         if (i + 1) % 100 == 0:
             m = sys_.map
             print(
@@ -45,6 +58,7 @@ def main():
                 f"({time.time()-t0:.0f}s)",
                 flush=True,
             )
+    sys_.finish()  # drain the pipelined frame + async backend work
     fixed = [sys_._abs_pose(T_rel, ref) for _, T_rel, ref in sys_.trajectory]
     ate = ate_rmse(
         trajectory_positions(np.stack(fixed)),
